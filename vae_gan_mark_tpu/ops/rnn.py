@@ -1,0 +1,105 @@
+"""Multi-layer bidirectional GRU via ``lax.scan`` (torch nn.GRU semantics).
+
+The reference's char text encoders use a 2-layer bidirectional GRU, hidden 256
+per direction, dropout 0.1 between layers (vae-gan-v2.py:75-78). torch gate
+math (gate order r, z, n):
+
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+
+TPU-first formulation: the input projection for *all* timesteps is hoisted out
+of the scan into one large matmul (B*L, E) @ (E, 3H) that tiles onto the MXU;
+the scan body only does the (B, H) @ (H, 3H) hidden matmul plus elementwise
+gates. Sequences are fixed-length (padded to 60), so shapes are fully static
+under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GRULayer(nn.Module):
+    """Single-direction GRU over a fixed-length sequence.
+
+    Input (B, L, E) -> output (B, L, H). ``reverse=True`` scans right-to-left
+    and returns outputs aligned with the input order (torch's backward
+    direction).
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, length, in_dim = x.shape
+        h3 = 3 * self.hidden
+        # torch init: uniform(-1/sqrt(hidden), 1/sqrt(hidden)) for all params.
+        bound = 1.0 / jnp.sqrt(jnp.float32(self.hidden))
+        init = nn.initializers.uniform(scale=2.0 * float(bound))
+
+        def shifted(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - bound
+
+        w_ih = self.param("w_ih", shifted, (in_dim, h3))
+        b_ih = self.param("b_ih", shifted, (h3,))
+        w_hh = self.param("w_hh", shifted, (self.hidden, h3))
+        b_hh = self.param("b_hh", shifted, (h3,))
+
+        xf = x.astype(jnp.float32)
+        # One big MXU matmul for every timestep's input projection.
+        x_proj = jnp.dot(xf.reshape(b * length, in_dim), w_ih,
+                         precision=jax.lax.Precision.HIGHEST) + b_ih
+        x_proj = x_proj.reshape(b, length, h3)
+        x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major (L, B, 3H)
+
+        h = self.hidden
+
+        def step(carry, xp):
+            hp = jnp.dot(carry, w_hh,
+                         precision=jax.lax.Precision.HIGHEST) + b_hh
+            xr, xz, xn = xp[:, :h], xp[:, h:2 * h], xp[:, 2 * h:]
+            hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            new_h = (1.0 - z) * n + z * carry
+            return new_h, new_h
+
+        h0 = jnp.zeros((b, h), jnp.float32)
+        _, outs = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
+        return jnp.swapaxes(outs, 0, 1).astype(x.dtype)  # (B, L, H)
+
+
+class BiGRU(nn.Module):
+    """Stacked bidirectional GRU: (B, L, E) -> (B, L, 2*hidden).
+
+    Dropout (rate ``dropout``) is applied between layers in train mode, like
+    torch's inter-layer dropout; it needs the ``dropout`` RNG stream.
+    """
+
+    hidden: int
+    num_layers: int = 2
+    dropout: float = 0.1
+    train: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x
+        for layer in range(self.num_layers):
+            fwd = GRULayer(self.hidden, reverse=False,
+                           name=f"l{layer}_fwd")(y)
+            bwd = GRULayer(self.hidden, reverse=True,
+                           name=f"l{layer}_bwd")(y)
+            y = jnp.concatenate([fwd, bwd], axis=-1)
+            if layer + 1 < self.num_layers and self.dropout > 0.0:
+                y = nn.Dropout(rate=self.dropout,
+                               deterministic=not self.train)(y)
+        return y.astype(self.dtype)
