@@ -93,8 +93,13 @@ class TConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        kh, kw = self.kernel_size
         ph, pw = self.torch_padding
+        # flax/lax conv_transpose explicit (lo, hi) padding relates to
+        # torch's symmetric padding p as lo = hi = k - 1 - p, giving
+        # out = (in - 1) * s + k - 2p (verified for all kernel/stride
+        # combinations used by the reference decoders).
+        pad = ((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw))
         return nn.ConvTranspose(
             self.features, self.kernel_size, strides=self.strides,
-            padding=((ph, ph), (pw, pw)),
-            dtype=self.dtype, param_dtype=jnp.float32)(x)
+            padding=pad, dtype=self.dtype, param_dtype=jnp.float32)(x)
