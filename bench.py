@@ -1,0 +1,87 @@
+"""Benchmark harness: images/sec/chip for the flagship (v2) train step.
+
+Runs on whatever backend JAX selects (the driver runs it on the real TPU
+chip). Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is the speedup over the reference-side measurement (the
+from-spec PyTorch-CPU v2 train step, benchmarks/reference_baseline.py;
+BASELINE.md's stated target is >=10x that on a v5e-1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vae_gan_mark_tpu.config import get_config
+    from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+    from vae_gan_mark_tpu.models.vgg import load_vgg_params
+    from vae_gan_mark_tpu.train.state import create_train_state
+    from vae_gan_mark_tpu.train.step import jit_train_step
+
+    platform = jax.devices()[0].platform
+    # Batch 16 matches the reference's training scale (vae-gan-v2.py:27);
+    # larger batches utilize the chip better — report the best.
+    batch_sizes = (16, 64) if platform != "cpu" else (16,)
+    steps = 20 if platform != "cpu" else 3
+
+    cfg = get_config("v2")  # full 448x64, bfloat16 compute
+    best_ips, best_bs = 0.0, 0
+    for bs in batch_sizes:
+        ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(bs, 0).items()}
+        state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        vgg = load_vgg_params()
+        step = jit_train_step(cfg)
+        rng = jax.random.PRNGKey(1)
+        kl = jnp.float32(1e-3)
+
+        t_compile = time.time()
+        state, m = step(state, vgg, batch, rng, kl)
+        jax.block_until_ready(m["loss_G"])
+        log(f"[bench] bs={bs} compile+first step "
+            f"{time.time() - t_compile:.1f}s")
+
+        for _ in range(2):  # warmup
+            state, m = step(state, vgg, batch, rng, kl)
+        jax.block_until_ready(m["loss_G"])
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = step(state, vgg, batch, rng, kl)
+        jax.block_until_ready(m["loss_G"])
+        dt = time.time() - t0
+        ips = steps * bs / dt
+        log(f"[bench] bs={bs}: {ips:.1f} images/sec "
+            f"({dt / steps * 1000:.1f} ms/step)")
+        if ips > best_ips:
+            best_ips, best_bs = ips, bs
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "baseline_torch_cpu.json")
+    vs_baseline = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            vs_baseline = best_ips / json.load(f)["images_per_sec"]
+
+    print(json.dumps({
+        "metric": f"v2 train-step images/sec/chip "
+                  f"(448x64, bf16, batch {best_bs}, {platform})",
+        "value": round(best_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Training-engine integration tests on the CPU backend (tiny shapes).
+
+Mirrors the test strategy SURVEY.md §4 mandates: jitted-step smoke + loss
+decrease on a synthetic dataset + checkpoint round-trip resume equivalence.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vae_gan_mark_tpu.config import get_config
+from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+from vae_gan_mark_tpu.models.vgg import load_vgg_params
+from vae_gan_mark_tpu.train.checkpoint import (
+    restore_checkpoint, save_checkpoint)
+from vae_gan_mark_tpu.train.loop import Trainer
+from vae_gan_mark_tpu.train.schedule import (
+    PlateauState, kl_weight_for_epoch, plateau_step)
+from vae_gan_mark_tpu.train.state import create_train_state, get_lr, set_lr
+from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
+
+TINY = dict(patch_h=32, patch_w=64, compute_dtype="float32",
+            enc_chans=(8, 16, 24, 32), bottleneck_ch=48, z_ch=16,
+            char_emb_dim=16, char_rnn_hidden=16, max_text_len=12,
+            batch_size=8)
+
+
+def make_setup(variant="v2", **overrides):
+    kw = dict(TINY)
+    if variant == "oldv":
+        kw["enc_chans"] = (8, 16, 24)
+    if variant in ("vanilla", "lr_sh"):
+        kw["enc_chans"] = (8, 16, 24, 32)
+    kw.update(overrides)
+    cfg = get_config(variant, **kw)
+    ds = SyntheticPatchDataset(cfg, num_samples=64, seed=0)
+    batch0 = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
+    vgg = load_vgg_params()
+    return cfg, ds, state, vgg
+
+
+@pytest.mark.parametrize("variant", ["vanilla", "v2", "oldv"])
+def test_train_step_runs_and_is_finite(variant):
+    cfg, ds, state, vgg = make_setup(variant)
+    step = jit_train_step(cfg)
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+        state, m = step(state, vgg, batch, rng, jnp.float32(1e-4))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (k, float(v))
+    assert int(state.step) == 3
+
+
+def test_spectral_u_and_batch_stats_advance():
+    cfg, ds, state, vgg = make_setup("v2")
+    step = jit_train_step(cfg)
+    u_before = jax.tree.map(np.asarray, state.d_spectral)
+    bs_before = jax.tree.map(np.asarray, state.g_batch_stats)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    state, _ = step(state, vgg, batch, jax.random.PRNGKey(1),
+                    jnp.float32(1e-4))
+    u_after = jax.tree.map(np.asarray, state.d_spectral)
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, b),
+                           u_before, u_after)
+    assert any(jax.tree.leaves(changed)), "spectral u must advance"
+    bs_after = jax.tree.map(np.asarray, state.g_batch_stats)
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, b),
+                           bs_before, bs_after)
+    assert any(jax.tree.leaves(changed)), "BN running stats must update"
+
+
+def test_vae_loss_decreases():
+    """Pure-VAE config (no GAN/perc noise in the signal): recon must drop."""
+    cfg, ds, state, vgg = make_setup(
+        "v2", gan_weight=0.0, perc_weight=0.0, lr_g=2e-3)
+    step = jit_train_step(cfg)
+    rng = jax.random.PRNGKey(2)
+    recons = []
+    for i in range(60):
+        batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+        state, m = step(state, vgg, batch, rng, jnp.float32(1e-5))
+        recons.append(float(m["recon"]))
+    first, last = np.mean(recons[:10]), np.mean(recons[-10:])
+    assert last < first * 0.9, f"recon {first:.4f} -> {last:.4f}"
+
+
+def test_lr_get_set_roundtrip():
+    cfg, ds, state, vgg = make_setup("v2")
+    assert get_lr(state.opt_g) == pytest.approx(1e-4)
+    new_opt = set_lr(state.opt_g, 5e-5)
+    assert get_lr(new_opt) == pytest.approx(5e-5)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """Save -> restore -> continue must equal continuous training bitwise."""
+    cfg, ds, state, vgg = make_setup("v2")
+    step = jit_train_step(cfg)
+    rng = jax.random.PRNGKey(3)
+
+    def advance(s, start, n):
+        for i in range(start, start + n):
+            batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+            s, m = step(s, vgg, batch, rng, jnp.float32(1e-4))
+        return s, m
+
+    state, _ = advance(state, 0, 3)
+    save_checkpoint(str(tmp_path), "ck", state, epoch=0, best_val=1.0,
+                    sched_g=PlateauState(), sched_d=PlateauState(),
+                    lr_g=1e-4, lr_d=1e-4)
+    cont_state, cont_m = advance(state, 3, 2)
+
+    restored, meta = restore_checkpoint(str(tmp_path), "ck", state)
+    assert meta["epoch"] == 0
+    res_state, res_m = advance(restored, 3, 2)
+    for k in cont_m:
+        assert float(cont_m[k]) == pytest.approx(float(res_m[k]), rel=1e-6), k
+    leaves_a = jax.tree.leaves(cont_state.g_params)
+    leaves_b = jax.tree.leaves(res_state.g_params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_step_metrics():
+    cfg, ds, state, vgg = make_setup("v2")
+    estep = jit_eval_step(cfg)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    metrics, fake = estep(state, vgg, batch, jax.random.PRNGKey(0),
+                          jnp.float32(1e-4))
+    assert fake.shape == batch["en"].shape
+    for key in ("recon", "kl", "gan_g", "perc", "loss_G", "loss_D", "psnr"):
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_plateau_scheduler_torch_semantics():
+    from vae_gan_mark_tpu.config import SchedulerConfig
+    sc = SchedulerConfig(factor=0.5, patience=2, threshold=1e-4, min_lr=1e-6)
+    st = PlateauState()
+    lr = 1.0
+    lr = plateau_step(sc, st, 1.0, lr)   # first epoch sets best
+    assert lr == 1.0
+    for _ in range(2):                   # two bad epochs: within patience
+        lr = plateau_step(sc, st, 1.0, lr)
+    assert lr == 1.0
+    lr = plateau_step(sc, st, 1.0, lr)   # third bad epoch: > patience
+    assert lr == 0.5
+    lr = plateau_step(sc, st, 0.5, lr)   # improvement resets
+    assert lr == 0.5 and st.num_bad_epochs == 0
+    # min_lr floor
+    st2 = PlateauState(best=0.1)
+    lr2 = 2e-6
+    for _ in range(10):
+        lr2 = plateau_step(sc, st2, 1.0, lr2)
+    assert lr2 == pytest.approx(1e-6)
+
+
+def test_kl_anneal_schedule():
+    cfg = get_config("v2", **TINY)
+    w0 = kl_weight_for_epoch(cfg, 0)
+    w_mid = kl_weight_for_epoch(cfg, 10)
+    w_end = kl_weight_for_epoch(cfg, 19)
+    w_after = kl_weight_for_epoch(cfg, 25)
+    assert w0 == pytest.approx(cfg.start_kl_weight)
+    assert w0 < w_mid < w_end
+    assert w_end == pytest.approx(cfg.kl_weight, rel=1e-6)
+    assert w_after == cfg.kl_weight
+    # No annealing for vanilla.
+    cfg_v = get_config("vanilla", **TINY)
+    assert kl_weight_for_epoch(cfg_v, 0) == cfg_v.kl_weight
+
+
+def test_trainer_fit_synthetic(tmp_path):
+    cfg = get_config("v2", **{**TINY, "batch_size": 8})
+    ds = SyntheticPatchDataset(cfg, num_samples=32, seed=0)
+    val_ds = SyntheticPatchDataset(cfg, num_samples=16, seed=1)
+
+    def train_data(epoch):
+        for i in range(4):
+            yield ds.batch(8, i)
+
+    def val_data(epoch):
+        for i in range(2):
+            yield val_ds.batch(8, i)
+
+    trainer = Trainer(cfg, train_data, val_data, workdir=str(tmp_path),
+                      use_mesh=False)
+    best = trainer.fit(epochs=2)
+    assert np.isfinite(best)
+    assert os.path.isdir(os.path.join(str(tmp_path), "last_checkpoint"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "best_model"))
+    # Metrics JSONL written with the reference's schema.
+    import json
+    lines = [json.loads(line) for line in
+             open(os.path.join(str(tmp_path), "v2.metrics.jsonl"))]
+    assert "train/generator_loss" in lines[-1]
+    assert "val/recon_loss" in lines[-1]
+    assert "learning_rate/generator" in lines[-1]
+
+    # Resume: a new Trainer picks up from the checkpoint.
+    trainer2 = Trainer(cfg, train_data, val_data, workdir=str(tmp_path),
+                       use_mesh=False)
+    assert trainer2.epoch == 2

@@ -1,0 +1,133 @@
+"""Command-line entry point replacing the reference's five scripts.
+
+    python -m vae_gan_mark_tpu.train --variant {vanilla,lr_sh,unet,v2,oldv} \
+        --json-dir ... --ru-dir ... --en-dir ... --mask-dir ... \
+        [--epochs N] [--batch-size N] [--workdir DIR] [--synthetic]
+
+The reference hardcodes dataset paths and reads hyperparameters from module
+constants mirrored into wandb.config (vae-gan.py:485-510); here every
+constant is a CLI-overridable config field and credentials come only from the
+environment (WANDB_API_KEY — never hardcoded; see the leaked key the
+reference ships, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from vae_gan_mark_tpu.config import VARIANTS, get_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vae_gan_mark_tpu.train",
+                                description=__doc__)
+    p.add_argument("--variant", choices=sorted(VARIANTS), default="v2")
+    p.add_argument("--json-dir", help="annotation dir (*.json)")
+    p.add_argument("--ru-dir", help="RU images dir")
+    p.add_argument("--en-dir", help="EN images dir")
+    p.add_argument("--mask-dir", help="mask dir ({base}_ru.png)")
+    p.add_argument("--workdir", default="./checkpoints_vaegan",
+                   help="checkpoints + logs dir")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic dataset (smoke/bench)")
+    p.add_argument("--synthetic-samples", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of epoch 2 here")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="disable the device mesh (single device)")
+    # Any config field is overridable: --set epochs=10 --set lr_g=2e-4
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
+                   help="override a VariantConfig field")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    return p
+
+
+def parse_overrides(cfg_cls, pairs):
+    fields = {f.name: f.type for f in dataclasses.fields(cfg_cls)}
+    out = {}
+    for pair in pairs:
+        key, _, val = pair.partition("=")
+        if key not in fields:
+            raise SystemExit(f"unknown config field: {key}")
+        current = getattr(get_config("v2"), key)
+        if isinstance(current, bool):
+            out[key] = val.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            out[key] = int(val)
+        elif isinstance(current, float):
+            out[key] = float(val)
+        elif isinstance(current, tuple):
+            out[key] = tuple(int(x) for x in val.split(","))
+        else:
+            out[key] = val
+    return out
+
+
+def main(argv=None):
+    from vae_gan_mark_tpu.config import VariantConfig
+    args = build_parser().parse_args(argv)
+    overrides = parse_overrides(VariantConfig, args.set)
+    if args.epochs is not None:
+        overrides["epochs"] = args.epochs
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    cfg = get_config(args.variant, **overrides)
+
+    from vae_gan_mark_tpu.train.loop import Trainer
+
+    if args.synthetic:
+        from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+        train_ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
+                                         seed=args.seed)
+        val_ds = SyntheticPatchDataset(cfg, max(args.synthetic_samples // 8,
+                                                cfg.batch_size),
+                                       seed=args.seed + 1)
+        steps = args.synthetic_samples // cfg.batch_size
+
+        def train_data(epoch):
+            for i in range(steps):
+                yield train_ds.batch(cfg.batch_size, i + epoch * steps)
+
+        def val_data(epoch):
+            for i in range(max(steps // 8, 1)):
+                yield val_ds.batch(cfg.batch_size, i)
+    else:
+        if not all((args.json_dir, args.ru_dir, args.en_dir, args.mask_dir)):
+            raise SystemExit("--json-dir/--ru-dir/--en-dir/--mask-dir are "
+                             "required without --synthetic")
+        from vae_gan_mark_tpu.data.index import build_index, grouped_split
+        from vae_gan_mark_tpu.data.pipeline import HostWarpLoader
+        samples = build_index(args.json_dir, args.ru_dir, args.en_dir,
+                              args.mask_dir)
+        print(f"indexed {len(samples)} samples")
+        train_idx, val_idx = grouped_split(samples, cfg.val_split,
+                                           cfg.split_seed)
+        print(f"train/val: {len(train_idx)}/{len(val_idx)}")
+        text_embed_fn = None
+        if cfg.text_encoder == "sbert":
+            from vae_gan_mark_tpu.data.text_embed import make_text_embedder
+            text_embed_fn = make_text_embedder()
+        train_data = HostWarpLoader(cfg, samples, train_idx, shuffle=True,
+                                    drop_last=True, seed=args.seed,
+                                    num_workers=args.num_workers,
+                                    text_embed_fn=text_embed_fn)
+        val_data = HostWarpLoader(cfg, samples, val_idx, shuffle=False,
+                                  drop_last=False, seed=args.seed,
+                                  num_workers=args.num_workers,
+                                  text_embed_fn=text_embed_fn) \
+            if val_idx else None
+
+    trainer = Trainer(cfg, train_data, val_data, workdir=args.workdir,
+                      seed=args.seed, use_mesh=not args.no_mesh,
+                      profile_dir=args.profile_dir)
+    best = trainer.fit()
+    print(f"done; best val recon: {best:.4f}")
+    trainer.logger.finish()
+
+
+if __name__ == "__main__":
+    main()

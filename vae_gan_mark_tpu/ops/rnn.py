@@ -18,6 +18,7 @@ under jit.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -41,8 +42,8 @@ class GRULayer(nn.Module):
         b, length, in_dim = x.shape
         h3 = 3 * self.hidden
         # torch init: uniform(-1/sqrt(hidden), 1/sqrt(hidden)) for all params.
-        bound = 1.0 / jnp.sqrt(jnp.float32(self.hidden))
-        init = nn.initializers.uniform(scale=2.0 * float(bound))
+        bound = 1.0 / math.sqrt(self.hidden)
+        init = nn.initializers.uniform(scale=2.0 * bound)
 
         def shifted(key, shape, dtype=jnp.float32):
             return init(key, shape, dtype) - bound

@@ -1,0 +1,72 @@
+"""Checkpointing via Orbax: last/best policy matching the reference.
+
+The reference saves ``last_checkpoint.pth`` every epoch and ``best_model.pth``
+whenever val recon improves, storing models + both optimizers + schedulers +
+epoch + best_val (vae-gan-v2.py:799-818). Here the device pytree (TrainState)
+goes through Orbax; small host-side scalars (epoch, best_val, plateau
+scheduler states, current LRs) live in a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from vae_gan_mark_tpu.train.schedule import PlateauState
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, "host_meta.json")
+
+
+def save_checkpoint(root: str, name: str, state, epoch: int, best_val: float,
+                    sched_g: PlateauState, sched_d: PlateauState,
+                    lr_g: float, lr_d: float) -> str:
+    """Write checkpoint ``root/name`` (atomic replace of any existing one)."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.abspath(os.path.join(root, name))
+    ckptr = ocp.StandardCheckpointer()
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, state)
+    ckptr.wait_until_finished()
+    with open(_meta_path(tmp), "w") as f:
+        json.dump({
+            "epoch": epoch,
+            "best_val": best_val,
+            "sched_g": dataclasses.asdict(sched_g),
+            "sched_d": dataclasses.asdict(sched_d),
+            "lr_g": lr_g,
+            "lr_d": lr_d,
+        }, f)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_checkpoint(root: str, name: str,
+                       abstract_state) -> Optional[Tuple[Any, Dict]]:
+    """Restore ``root/name`` against an abstract/like-shaped TrainState.
+
+    Returns (state, meta) or None if the checkpoint doesn't exist.
+    """
+    path = os.path.abspath(os.path.join(root, name))
+    if not os.path.isdir(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    state = ckptr.restore(path, target)
+    with open(_meta_path(path)) as f:
+        meta = json.load(f)
+    meta["sched_g"] = PlateauState(**meta["sched_g"])
+    meta["sched_d"] = PlateauState(**meta["sched_d"])
+    return state, meta

@@ -1,0 +1,225 @@
+"""Epoch driver: the framework's replacement for the reference's
+``train_loop`` / ``val_loop`` / ``main`` trio (vae-gan-v2.py:672-825).
+
+Responsibilities (matching SURVEY.md §2.11 + §5):
+  * per-epoch training over a data source of host batches, through one
+    jitted D-then-G step;
+  * KL annealing (host scalar into the step — no recompile);
+  * validation (recon-only or full-loss flavor per config), val image
+    triplets;
+  * ReduceLROnPlateau on val recon for both optimizers;
+  * last/best checkpointing via Orbax + resume;
+  * metric logging with the reference's ``train/*``, ``val/*``,
+    ``learning_rate/*`` schema;
+  * optional data parallelism over a device mesh (params replicated, batch
+    sharded — XLA inserts the psum over ICI);
+  * NaN guard (the TPU-era stand-in for torch's detect_anomaly,
+    vae-gan-v2.py:1028) and optional jax.profiler traces.
+
+Data sources are callables ``epoch -> iterator of host batches`` where a
+batch is a dict with keys ru/en/mask/text (NHWC float32 in [0,1] + tokens or
+SBERT embeddings).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_gan_mark_tpu.config import VariantConfig
+from vae_gan_mark_tpu.models.vgg import load_vgg_params
+from vae_gan_mark_tpu.parallel.mesh import (
+    make_mesh, replicate_tree, shard_batch)
+from vae_gan_mark_tpu.train.checkpoint import (
+    restore_checkpoint, save_checkpoint)
+from vae_gan_mark_tpu.train.metrics import MetricsLogger
+from vae_gan_mark_tpu.train.schedule import (
+    PlateauState, kl_weight_for_epoch, plateau_step)
+from vae_gan_mark_tpu.train.state import (
+    create_train_state, get_lr, set_lr)
+from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
+
+DataSource = Callable[[int], Iterator[dict]]
+
+
+class Trainer:
+    def __init__(self, cfg: VariantConfig, train_data: DataSource,
+                 val_data: Optional[DataSource], workdir: str,
+                 seed: int = 0, use_mesh: bool = True,
+                 logger: Optional[MetricsLogger] = None,
+                 nan_guard: bool = True,
+                 profile_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.train_data = train_data
+        self.val_data = val_data
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.logger = logger or MetricsLogger(workdir, run_name=cfg.name)
+        self.nan_guard = nan_guard
+        self.profile_dir = profile_dir
+
+        self.mesh = make_mesh() if use_mesh else None
+        self.rng = jax.random.PRNGKey(seed)
+
+        first_batch = next(iter(train_data(0)))
+        init_batch = {k: jnp.asarray(v) for k, v in first_batch.items()}
+        self.state = create_train_state(cfg, self.rng, init_batch)
+        self.vgg_params = load_vgg_params()
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+            self.vgg_params = replicate_tree(self.vgg_params, self.mesh)
+
+        self.train_step = jit_train_step(cfg)
+        self.eval_step = jit_eval_step(cfg)
+
+        self.epoch = 0
+        self.best_val = float("inf")
+        self.sched_g = PlateauState()
+        self.sched_d = PlateauState()
+        self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    def _maybe_resume(self):
+        restored = restore_checkpoint(self.workdir, "last_checkpoint",
+                                      self.state)
+        if restored is None:
+            return
+        state, meta = restored
+        self.state = state
+        if self.mesh is not None:
+            self.state = replicate_tree(self.state, self.mesh)
+        self.epoch = meta["epoch"] + 1
+        self.best_val = meta["best_val"]
+        self.sched_g = meta["sched_g"]
+        self.sched_d = meta["sched_d"]
+        self.state = self.state.replace(
+            opt_g=set_lr(self.state.opt_g, meta["lr_g"]),
+            opt_d=set_lr(self.state.opt_d, meta["lr_d"]))
+        print(f"[resume] from epoch {meta['epoch']} "
+              f"(best_val={self.best_val:.4f})")
+
+    def _put(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> dict:
+        kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
+        sums, count = {}, 0
+        t0 = time.time()
+        images = 0
+        for batch in self.train_data(epoch):
+            if batch is None:  # safe-batch semantics (vae-gan.py:400)
+                continue
+            batch = self._put(batch)
+            self.state, metrics = self.train_step(
+                self.state, self.vgg_params, batch, self.rng, kl_w)
+            images += batch["ru"].shape[0]
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            count += 1
+            if self.nan_guard and not np.isfinite(float(metrics["loss_G"])):
+                raise FloatingPointError(
+                    f"non-finite generator loss at epoch {epoch}, "
+                    f"step {int(self.state.step)}")
+        dt = time.time() - t0
+        avg = {k: v / max(count, 1) for k, v in sums.items()}
+        avg["images_per_sec"] = images / max(dt, 1e-9)
+        avg["kl_weight"] = float(kl_w)
+        return avg
+
+    def validate(self, epoch: int) -> dict:
+        if self.val_data is None:
+            return {}
+        kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
+        sums, n_samples = {}, 0
+        triplets = []
+        for batch in self.val_data(epoch):
+            if batch is None:
+                continue
+            host_batch = batch
+            batch = self._put(batch)
+            metrics, fake = self.eval_step(
+                self.state, self.vgg_params, batch, self.rng, kl_w)
+            bsz = batch["ru"].shape[0]
+            n_samples += bsz
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * bsz
+            if len(triplets) < 16:
+                fake_np = np.asarray(fake)
+                for i in range(min(bsz, 16 - len(triplets))):
+                    triplets.append((np.asarray(host_batch["ru"][i]),
+                                     np.asarray(host_batch["en"][i]),
+                                     fake_np[i], f"epoch {epoch}"))
+        avg = {k: v / max(n_samples, 1) for k, v in sums.items()}
+        if triplets:
+            self.logger.log_images(triplets, step=epoch + 1)
+        return avg
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> float:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        for epoch in range(self.epoch, epochs):
+            if self.profile_dir and epoch == self.epoch + 1:
+                jax.profiler.start_trace(self.profile_dir)
+            train_metrics = self.train_epoch(epoch)
+            log = {
+                "epoch": epoch + 1,
+                "train/generator_loss": train_metrics.get("loss_G", 0.0),
+                "train/discriminator_loss": train_metrics.get("loss_D", 0.0),
+                "train/recon_loss": train_metrics.get("recon", 0.0),
+                "train/kl_loss": train_metrics.get("kl", 0.0),
+                "train/gan_loss_g": train_metrics.get("gan_g", 0.0),
+                "train/perceptual_loss": train_metrics.get("perc", 0.0),
+                "train/images_per_sec": train_metrics.get("images_per_sec", 0.0),
+                "train_params/current_kl_weight": train_metrics.get("kl_weight", 0.0),
+                "learning_rate/generator": get_lr(self.state.opt_g),
+                "learning_rate/discriminator": get_lr(self.state.opt_d),
+            }
+
+            val_metrics = self.validate(epoch)
+            val_recon = val_metrics.get("recon", float("inf"))
+            if val_metrics:
+                log["val/recon_loss"] = val_recon
+                log["val/psnr"] = val_metrics.get("psnr", 0.0)
+                if cfg.full_loss_val:
+                    log["val/generator_loss"] = val_metrics.get("loss_G", 0.0)
+                    log["val/discriminator_loss"] = val_metrics.get(
+                        "loss_D", 0.0)
+                    log["val/kl_loss"] = val_metrics.get("kl", 0.0)
+                    log["val/gan_loss_g"] = val_metrics.get("gan_g", 0.0)
+                    log["val/perceptual_loss"] = val_metrics.get("perc", 0.0)
+            self.logger.log(log, step=epoch + 1)
+
+            # ReduceLROnPlateau on val recon (vae-gan-lr-sh.py:751-760).
+            if cfg.scheduler is not None and val_metrics:
+                new_lr_g = plateau_step(cfg.scheduler, self.sched_g,
+                                        val_recon, get_lr(self.state.opt_g))
+                new_lr_d = plateau_step(cfg.scheduler, self.sched_d,
+                                        val_recon, get_lr(self.state.opt_d))
+                self.state = self.state.replace(
+                    opt_g=set_lr(self.state.opt_g, new_lr_g),
+                    opt_d=set_lr(self.state.opt_d, new_lr_d))
+
+            # last/best checkpoints (vae-gan-v2.py:799-818).
+            if val_recon < self.best_val:
+                self.best_val = val_recon
+                self.logger.set_summary("best_val_recon_loss", self.best_val)
+                self._save("best_model", epoch)
+            self._save("last_checkpoint", epoch)
+
+            if self.profile_dir and epoch == self.epoch + 1:
+                jax.profiler.stop_trace()
+        return self.best_val
+
+    def _save(self, name: str, epoch: int):
+        save_checkpoint(self.workdir, name, self.state, epoch, self.best_val,
+                        self.sched_g, self.sched_d,
+                        get_lr(self.state.opt_g), get_lr(self.state.opt_d))

@@ -1,0 +1,186 @@
+"""The jitted GAN train/eval steps.
+
+One compiled step reproduces the reference's per-batch schedule
+(vae-gan.py:399-428) with the same information flow:
+
+  1. one generator forward (captured with ``jax.vjp`` so its backward runs
+     once, exactly like torch autograd reusing the forward's activations);
+  2. discriminator update on (real, stop_gradient(fake)) —
+     ``loss_D = 0.5 * (hinge(D(real), 1) + hinge(D(fake.detach()), 0))``;
+  3. generator update *against the already-updated discriminator* (torch
+     stepped opt_D before computing ``disc(fake)`` for the G loss) —
+     ``loss_G = recon + w_kl * kl + w_gan * hinge_G + w_perc * perceptual``,
+     gradients pulled back through the saved vjp, global-norm clipped.
+
+Spectral-norm power-iteration vectors advance through the same sequence of
+discriminator forwards as the reference (D-phase forwards, then the G-phase
+forward on the updated weights). With ``cfg.fused_disc_forward`` the D-phase
+runs real and fake through one concatenated forward (InstanceNorm is
+per-sample, so activations are unchanged; only one power iteration happens
+instead of two).
+
+The KL weight is a traced scalar argument so KL annealing never recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_gan_mark_tpu.config import VariantConfig
+from vae_gan_mark_tpu.losses import (
+    hinge_d_fake, hinge_d_real, hinge_g, kl_divergence, l1_loss,
+    perceptual_loss)
+from vae_gan_mark_tpu.models import PatchDiscriminator, VAEGANGenerator
+from vae_gan_mark_tpu.train.state import (
+    TrainState, make_d_optimizer, make_g_optimizer)
+
+Batch = Dict[str, jnp.ndarray]  # keys: ru, en, mask, text
+
+
+def build_train_step(cfg: VariantConfig):
+    """Returns step(state, vgg_params, batch, rng, kl_weight) -> (state, metrics)."""
+    g_model = VAEGANGenerator(cfg=cfg, train=True)
+    d_model = PatchDiscriminator()
+    opt_g = make_g_optimizer(cfg)
+    opt_d = make_d_optimizer(cfg)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    def d_apply(params, spectral, x):
+        out, updated = d_model.apply(
+            {"params": params, "spectral": spectral}, x,
+            mutable=["spectral"])
+        return out, updated["spectral"]
+
+    def step(state: TrainState, vgg_params, batch: Batch, rng: jax.Array,
+             kl_weight: jnp.ndarray) -> Tuple[TrainState, Dict[str, Any]]:
+        rng = jax.random.fold_in(rng, state.step)
+        rng_sample, rng_dropout = jax.random.split(rng)
+        real = batch["en"]
+
+        # ---- 1. Generator forward, backward saved for later. -------------
+        def g_forward(g_params):
+            (recon, mu, logvar), updated = g_model.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                batch["ru"], batch["mask"], batch["text"],
+                rngs={"sample": rng_sample, "dropout": rng_dropout},
+                mutable=["batch_stats"])
+            return (recon, mu, logvar), updated["batch_stats"]
+
+        (fake, mu, logvar), g_vjp, new_g_batch_stats = jax.vjp(
+            g_forward, state.g_params, has_aux=True)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        # ---- 2. Discriminator update. ------------------------------------
+        def d_loss_fn(d_params):
+            if cfg.fused_disc_forward:
+                both = jnp.concatenate(
+                    [real, fake_sg], axis=0).astype(compute_dtype)
+                preds, spectral = d_apply(d_params, state.d_spectral, both)
+                real_preds, fake_preds = jnp.split(preds, 2, axis=0)
+            else:
+                real_preds, spectral = d_apply(
+                    d_params, state.d_spectral, real.astype(compute_dtype))
+                fake_preds, spectral = d_apply(
+                    d_params, spectral, fake_sg.astype(compute_dtype))
+            loss = 0.5 * (hinge_d_real(real_preds) + hinge_d_fake(fake_preds))
+            return loss, spectral
+
+        (loss_d, d_spectral), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, new_opt_d = opt_d.update(d_grads, state.opt_d,
+                                            state.d_params)
+        new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- 3. Generator update against the updated discriminator. ------
+        def g_downstream(recon, mu_, logvar_):
+            fake_preds, spectral = d_apply(
+                new_d_params, d_spectral, recon.astype(compute_dtype))
+            recon_l = l1_loss(recon, real)
+            kl = kl_divergence(mu_, logvar_)
+            gan = hinge_g(fake_preds)
+            perc = perceptual_loss(vgg_params, recon, real,
+                                   dtype=compute_dtype)
+            total = (cfg.recon_weight * recon_l + kl_weight * kl
+                     + cfg.gan_weight * gan + cfg.perc_weight * perc)
+            return total, (recon_l, kl, gan, perc, spectral)
+
+        grad_fn = jax.value_and_grad(g_downstream, argnums=(0, 1, 2),
+                                     has_aux=True)
+        (loss_g, (recon_l, kl, gan, perc, d_spectral)), cotangents = grad_fn(
+            fake, mu, logvar)
+        (g_grads,) = g_vjp(cotangents)
+        g_updates, new_opt_g = opt_g.update(g_grads, state.opt_g,
+                                            state.g_params)
+        new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=new_g_params,
+            g_batch_stats=new_g_batch_stats,
+            d_params=new_d_params,
+            d_spectral=d_spectral,
+            opt_g=new_opt_g,
+            opt_d=new_opt_d,
+        )
+        metrics = {
+            "loss_G": loss_g, "loss_D": loss_d, "recon": recon_l,
+            "kl": kl, "gan_g": gan, "perc": perc,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def build_eval_step(cfg: VariantConfig):
+    """Full-loss validation step (vae-gan-v2.py:523-667): all five losses,
+    no parameter updates, eval-mode G (running BN stats, no dropout; the
+    reference still samples z in eval — so do we). Also returns PSNR and the
+    generated patch for image logging.
+    """
+    g_model = VAEGANGenerator(cfg=cfg, train=False)
+    d_model = PatchDiscriminator(update_sn=False)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    def step(state: TrainState, vgg_params, batch: Batch, rng: jax.Array,
+             kl_weight: jnp.ndarray):
+        rng_sample = jax.random.fold_in(rng, state.step)
+        real = batch["en"]
+        (fake, mu, logvar) = g_model.apply(
+            {"params": state.g_params, "batch_stats": state.g_batch_stats},
+            batch["ru"], batch["mask"], batch["text"],
+            rngs={"sample": rng_sample})
+        recon_l = l1_loss(fake, real)
+        kl = kl_divergence(mu, logvar)
+        fake_preds = d_model.apply(
+            {"params": state.d_params, "spectral": state.d_spectral},
+            fake.astype(compute_dtype))
+        real_preds = d_model.apply(
+            {"params": state.d_params, "spectral": state.d_spectral},
+            real.astype(compute_dtype))
+        gan = hinge_g(fake_preds)
+        loss_d = 0.5 * (hinge_d_real(real_preds) + hinge_d_fake(fake_preds))
+        perc = perceptual_loss(vgg_params, fake, real, dtype=compute_dtype)
+        total = (cfg.recon_weight * recon_l + kl_weight * kl
+                 + cfg.gan_weight * gan + cfg.perc_weight * perc)
+        mse = jnp.mean(jnp.square(fake - real))
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        metrics = {
+            "recon": recon_l, "kl": kl, "gan_g": gan, "perc": perc,
+            "loss_G": total, "loss_D": loss_d, "psnr": psnr,
+        }
+        return metrics, fake
+
+    return step
+
+
+def jit_train_step(cfg: VariantConfig):
+    return jax.jit(build_train_step(cfg), donate_argnums=(0,))
+
+
+def jit_eval_step(cfg: VariantConfig):
+    return jax.jit(build_eval_step(cfg))
