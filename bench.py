@@ -49,18 +49,23 @@ def main():
 
         t_compile = time.time()
         state, m = step(state, vgg, batch, rng, kl)
-        jax.block_until_ready(m["loss_G"])
+        # NOTE: fetch a value, don't just block_until_ready — the axon
+        # backend's block_until_ready returns before execution finishes;
+        # a host transfer is the only reliable completion barrier.
+        float(m["loss_G"])
         log(f"[bench] bs={bs} compile+first step "
             f"{time.time() - t_compile:.1f}s")
 
         for _ in range(2):  # warmup
             state, m = step(state, vgg, batch, rng, kl)
-        jax.block_until_ready(m["loss_G"])
+        float(m["loss_G"])
         t0 = time.time()
         for _ in range(steps):
             state, m = step(state, vgg, batch, rng, kl)
-        jax.block_until_ready(m["loss_G"])
+        # Dataflow chains every step; fetching the last loss waits for all.
+        final_loss = float(m["loss_G"])
         dt = time.time() - t0
+        assert final_loss == final_loss, "NaN loss in benchmark"
         ips = steps * bs / dt
         log(f"[bench] bs={bs}: {ips:.1f} images/sec "
             f"({dt / steps * 1000:.1f} ms/step)")
@@ -70,13 +75,19 @@ def main():
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "baseline_torch_cpu.json")
     vs_baseline = 0.0
+    baseline_note = "no baseline file"
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            vs_baseline = best_ips / json.load(f)["images_per_sec"]
+            base = json.load(f)
+        vs_baseline = best_ips / base["images_per_sec"]
+        baseline_note = (f"torch-CPU {base['threads']}-thread: "
+                         f"{base['images_per_sec']:.3f} img/s")
+    log(f"[bench] baseline: {baseline_note}")
 
     print(json.dumps({
         "metric": f"v2 train-step images/sec/chip "
-                  f"(448x64, bf16, batch {best_bs}, {platform})",
+                  f"(448x64, bf16, batch {best_bs}, {platform}; "
+                  f"baseline = from-spec torch v2 step on this host's CPU)",
         "value": round(best_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2),

@@ -1,12 +1,16 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Must set the env vars before the first jax import anywhere in the test
-process — hence a conftest at the tests root.
+The suite runs on whatever JAX platform the environment provides (the real
+TPU chip under axon, or CPU elsewhere) — numerics tolerances in the golden
+tests hold on both. Multi-device mesh tests (tests/test_parallel.py) always
+exercise a virtual 8-device CPU mesh via a subprocess with
+``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``,
+because the platform is fixed per-process at first jax import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Harmless on TPU; gives CPU runs 8 virtual devices.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # Persistent compilation cache: full-resolution model compiles dominate test
-# time on CPU; cache them across pytest runs.
+# time; cache them across pytest runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
