@@ -149,3 +149,30 @@ def perspective_unwarp(patch: jnp.ndarray, quad: jnp.ndarray,
                     canvas.astype(jnp.float32))
     return out.astype(canvas.dtype) if canvas.dtype != jnp.uint8 else \
         jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def pad_to_fixed_size(img: jnp.ndarray, target_h: int, target_w: int,
+                      fill: float = 0.0) -> jnp.ndarray:
+    """Center-pad an (H, W, C) image to (target_h, target_w).
+
+    Parity with the reference's unused helper (vae-gan.py:202-212); included
+    for API completeness. Requires img no larger than the target.
+    """
+    h, w = img.shape[0], img.shape[1]
+    top = max(0, (target_h - h) // 2)
+    left = max(0, (target_w - w) // 2)
+    out = jnp.full((target_h, target_w) + img.shape[2:], fill, img.dtype)
+    return jax.lax.dynamic_update_slice(
+        out, img, (top, left) + (0,) * (img.ndim - 2))
+
+
+def center_crop_like(src: jnp.ndarray, target_h: int,
+                     target_w: int) -> jnp.ndarray:
+    """Center-crop NHWC tensor spatially to (target_h, target_w).
+
+    Parity with the reference's unused helper (vae-gan-oldv.py:63-71).
+    """
+    h, w = src.shape[1], src.shape[2]
+    top = (h - target_h) // 2
+    left = (w - target_w) // 2
+    return src[:, top:top + target_h, left:left + target_w, :]
