@@ -119,6 +119,9 @@ class VariantConfig:
     fused_disc_forward: bool = True
     # Remat the generator encoder to trade FLOPs for HBM on large batches.
     remat_encoder: bool = False
+    # Exact row-factored SpatialFiLM predictor for height-1 text maps
+    # (unet/v2): ~21x fewer FiLM FLOPs, bit-identical math (see ops/film.py).
+    fast_film: bool = True
 
     # --- data ---
     val_split: float = 0.1

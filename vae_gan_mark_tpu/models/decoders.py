@@ -73,6 +73,7 @@ class UNetStyleDecoder(nn.Module):
     out_ch: int = 3
     use_film: bool = True
     gated_skips: bool = False
+    fast_film: bool = True
     train: bool = True
     dtype: Any = jnp.float32
 
@@ -100,6 +101,7 @@ class UNetStyleDecoder(nn.Module):
             if self.use_film:
                 x = SpatialFiLM(num_features_main=x.shape[-1],
                                 train=self.train, dtype=self.dtype,
+                                fast=self.fast_film,
                                 name=f"film{i}")(x, text_map)
             x = DoubleConvBlock(c, train=self.train, dtype=self.dtype)(x)
 

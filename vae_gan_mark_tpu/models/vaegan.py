@@ -93,6 +93,7 @@ class VAEGANGenerator(nn.Module):
                 out_ch=cfg.out_ch,
                 use_film=cfg.generator in ("film4", "film3"),
                 gated_skips=cfg.generator == "film3",
+                fast_film=cfg.fast_film,
                 train=self.train, dtype=dtype, name="decoder")(
                     z, text_map, skips)
 
