@@ -110,16 +110,14 @@ class SpatialFiLM(nn.Module):
         t = interpolate_bilinear(text_map, h, w).astype(self.dtype)
         t = jax.lax.conv_general_dilated(
             t, predict_kernel.astype(self.dtype), (1, 1),
-            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
         t = self._batch_norm(t, bn_scale, bn_bias, ra_mean, ra_var,
                              weights=None)
         t = nn.relu(t).astype(self.dtype)
         gb = jax.lax.conv_general_dilated(
             t, gb_kernel.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        gb = (gb + gb_bias).astype(self.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)
         gamma = gb[..., :self.num_features_main]
         beta = gb[..., self.num_features_main:]
         return gamma * x + beta
@@ -143,8 +141,7 @@ class SpatialFiLM(nn.Module):
         for kr in (k_top, k_mid, k_bot):
             r = jax.lax.conv_general_dilated(
                 t_x, kr.astype(self.dtype), (1, 1), ((0, 0), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
             rows.append(r)
         t_rows = jnp.concatenate(rows, axis=1)            # (B, 3, W, Ct)
 
@@ -153,9 +150,8 @@ class SpatialFiLM(nn.Module):
         t_rows = nn.relu(t_rows).astype(self.dtype)
         gb = jax.lax.conv_general_dilated(
             t_rows, gb_kernel.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        gb = (gb + gb_bias).astype(self.dtype)            # (B, 3, W, 2C)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)  # (B,3,W,2C)
         return (gb[..., :self.num_features_main],
                 gb[..., self.num_features_main:])
 
