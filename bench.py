@@ -24,6 +24,8 @@ def log(*args):
 def main():
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vae_gan_mark_tpu.config import get_config
     from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
     from vae_gan_mark_tpu.models.vgg import load_vgg_params

@@ -212,14 +212,17 @@ class Trainer:
             if val_recon < self.best_val:
                 self.best_val = val_recon
                 self.logger.set_summary("best_val_recon_loss", self.best_val)
-                self._save("best_model", epoch)
+                best_path = self._save("best_model", epoch)
+                self.logger.log_model_artifact(best_path, epoch + 1,
+                                               self.best_val)
             self._save("last_checkpoint", epoch)
 
             if self.profile_dir and epoch == self.epoch + 1:
                 jax.profiler.stop_trace()
         return self.best_val
 
-    def _save(self, name: str, epoch: int):
-        save_checkpoint(self.workdir, name, self.state, epoch, self.best_val,
-                        self.sched_g, self.sched_d,
-                        get_lr(self.state.opt_g), get_lr(self.state.opt_d))
+    def _save(self, name: str, epoch: int) -> str:
+        return save_checkpoint(
+            self.workdir, name, self.state, epoch, self.best_val,
+            self.sched_g, self.sched_d,
+            get_lr(self.state.opt_g), get_lr(self.state.opt_d))

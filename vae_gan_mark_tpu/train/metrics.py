@@ -66,6 +66,27 @@ class MetricsLogger:
         if self._wandb is not None and wandb_images:
             self._wandb.log({"validation/examples": wandb_images}, step=step)
 
+    def log_model_artifact(self, checkpoint_path: str, epoch: int,
+                           val_loss: float):
+        """Upload the best checkpoint as a wandb artifact aliased 'best'.
+
+        Parity with vae-gan.py:462-474 (whose own upload is dead code due to
+        an undefined-name bug); no-op without wandb.
+        """
+        if self._wandb is None:
+            return
+        try:
+            run_id = self._wandb.run.id
+            artifact = self._wandb.Artifact(
+                f"best-model-checkpoint-run-{run_id}", type="model",
+                metadata={"epoch": epoch, "val_recon_loss": val_loss,
+                          "run_id": run_id})
+            artifact.add_dir(checkpoint_path)
+            self._wandb.log_artifact(
+                artifact, aliases=["best", f"epoch-{epoch}"])
+        except Exception as e:
+            print(f"wandb artifact upload failed: {e}")
+
     def set_summary(self, key: str, value: float):
         self.summary[key] = float(value)
         if self._wandb is not None:
