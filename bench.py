@@ -24,7 +24,9 @@ def log(*args):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vae_gan_mark_tpu.config import get_config
     from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
@@ -35,7 +37,11 @@ def main():
     platform = jax.devices()[0].platform
     # Batch 16 matches the reference's training scale (vae-gan-v2.py:27);
     # larger batches utilize the chip better — report the best.
-    batch_sizes = (16, 64) if platform != "cpu" else (16,)
+    if os.environ.get("BENCH_BATCH_SIZES"):
+        batch_sizes = tuple(int(x) for x in
+                            os.environ["BENCH_BATCH_SIZES"].split(","))
+    else:
+        batch_sizes = (16, 64) if platform != "cpu" else (16,)
     steps = 20 if platform != "cpu" else 3
 
     cfg = get_config("v2")  # full 448x64, bfloat16 compute
