@@ -32,10 +32,17 @@ class GRULayer(nn.Module):
     Input (B, L, E) -> output (B, L, H). ``reverse=True`` scans right-to-left
     and returns outputs aligned with the input order (torch's backward
     direction).
+
+    ``use_pallas`` routes the recurrent scan through the fused Pallas kernel
+    (ops/pallas/gru.py) when the problem fits VMEM — same math, custom VJP;
+    falls back to ``lax.scan`` otherwise. ``pallas_interpret`` runs the
+    kernel in interpreter mode (CPU testing).
     """
 
     hidden: int
     reverse: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -59,6 +66,17 @@ class GRULayer(nn.Module):
                          precision=jax.lax.Precision.HIGHEST) + b_ih
         x_proj = x_proj.reshape(b, length, h3)
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major (L, B, 3H)
+
+        if self.use_pallas:
+            from vae_gan_mark_tpu.ops.pallas.gru import (
+                fits_vmem, pallas_gru_layer)
+            if fits_vmem(length, b, self.hidden):
+                xp = jnp.flip(x_proj, axis=0) if self.reverse else x_proj
+                outs = pallas_gru_layer(xp, w_hh, b_hh,
+                                        self.pallas_interpret)
+                if self.reverse:
+                    outs = jnp.flip(outs, axis=0)
+                return jnp.swapaxes(outs, 0, 1).astype(x.dtype)
 
         h = self.hidden
 
