@@ -73,6 +73,13 @@ class SpatialFiLM(nn.Module):
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
 
+    @property
+    def _precision(self):
+        # float32 compute = parity mode: force true-f32 convs (TPU default
+        # would silently use bf16 passes). bfloat16 compute keeps DEFAULT.
+        return (jax.lax.Precision.HIGHEST
+                if jnp.dtype(self.dtype) == jnp.float32 else None)
+
     @nn.compact
     def __call__(self, x, text_map):
         c_t = text_map.shape[-1]
@@ -110,13 +117,15 @@ class SpatialFiLM(nn.Module):
         t = interpolate_bilinear(text_map, h, w).astype(self.dtype)
         t = jax.lax.conv_general_dilated(
             t, predict_kernel.astype(self.dtype), (1, 1),
-            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self._precision)
         t = self._batch_norm(t, bn_scale, bn_bias, ra_mean, ra_var,
                              weights=None)
         t = nn.relu(t).astype(self.dtype)
         gb = jax.lax.conv_general_dilated(
             t, gb_kernel.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self._precision)
         gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)
         gamma = gb[..., :self.num_features_main]
         beta = gb[..., self.num_features_main:]
@@ -141,7 +150,8 @@ class SpatialFiLM(nn.Module):
         for kr in (k_top, k_mid, k_bot):
             r = jax.lax.conv_general_dilated(
                 t_x, kr.astype(self.dtype), (1, 1), ((0, 0), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self._precision)
             rows.append(r)
         t_rows = jnp.concatenate(rows, axis=1)            # (B, 3, W, Ct)
 
@@ -150,7 +160,8 @@ class SpatialFiLM(nn.Module):
         t_rows = nn.relu(t_rows).astype(self.dtype)
         gb = jax.lax.conv_general_dilated(
             t_rows, gb_kernel.astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self._precision)
         gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)  # (B,3,W,2C)
         return (gb[..., :self.num_features_main],
                 gb[..., self.num_features_main:])
