@@ -160,3 +160,43 @@ class TestHostLoader:
         b = next(iter(loader(0)))
         assert b["text"].shape == (4, cfg.sbert_dim)
         assert b["text"].dtype == np.float32
+
+
+class TestNativeWarp:
+    def test_native_matches_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        from vae_gan_mark_tpu.data import native_warp as nw
+        if not nw.available():
+            pytest.skip("native lib not built and no g++")
+        rng = np.random.default_rng(7)
+        img = cv2.GaussianBlur(
+            rng.integers(0, 256, (240, 320, 3), dtype=np.uint8), (5, 5), 2.0)
+        quad = np.array([[50, 60], [200, 58], [198, 150], [48, 148]],
+                        np.float32)
+        dst = np.array([[0, 0], [447, 0], [447, 63], [0, 63]], np.float32)
+        m = cv2.getPerspectiveTransform(quad, dst)
+        golden = cv2.warpPerspective(img, m, (448, 64),
+                                     flags=cv2.INTER_LINEAR,
+                                     borderMode=cv2.BORDER_REPLICATE)
+        ours = nw.perspective_crop(img, quad, 448, 64)
+        diff = np.abs(ours.astype(np.float32) - golden.astype(np.float32))
+        assert diff.mean() < 0.05 and diff.max() <= 2.0
+
+    def test_loader_with_forced_native(self, tmp_path, monkeypatch):
+        from vae_gan_mark_tpu.data import native_warp as nw
+        if not nw.available():
+            pytest.skip("native lib not built")
+        from vae_gan_mark_tpu.data import pipeline as pl
+        monkeypatch.setattr(pl, "_FORCE_NATIVE", True)
+        dirs = make_dataset(str(tmp_path), n_images=1)
+        cfg = get_config("v2", patch_h=32, patch_w=64,
+                         compute_dtype="float32", batch_size=4,
+                         max_text_len=12)
+        from vae_gan_mark_tpu.data.index import build_index
+        samples = build_index(dirs["json"], dirs["ru"], dirs["en"],
+                              dirs["mask"])
+        loader = pl.HostWarpLoader(cfg, samples, list(range(4)),
+                                   batch_size=4, num_workers=2)
+        b = next(iter(loader(0)))
+        assert b["ru"].shape == (4, 32, 64, 3)
+        assert np.isfinite(b["ru"]).all()

@@ -9,11 +9,10 @@ Two interchangeable loaders:
   empty text (vae-gan.py:284-288); a batch that loses every sample yields
   ``None`` (safe_collate, vae-gan.py:290-296).
 
-* ``device_warp_batch`` — TPU-first path: the host only decodes and crops an
-  axis-aligned bounding box around each quad into a fixed-size bucket
-  (static shapes!), and the batched perspective warp + normalization run
-  on-device inside jit (ops/warp.py). Used by the benchmark and available to
-  training through ``HostWarpLoader(device_warp=True)``.
+* ``DeviceWarpLoader`` (device_pipeline.py) — TPU-first path: the host only
+  decodes and crops an axis-aligned bounding box around each quad into a
+  fixed-size bucket (static shapes!), and the batched perspective warp +
+  normalization run on-device inside jit (ops/warp.py).
 
 Both produce dict batches {ru, en, mask, text} with NHWC float32 in [0, 1]
 and tokenized/embedded text, ready for the jitted train step.
@@ -40,17 +39,32 @@ try:
 except ImportError:  # pragma: no cover
     Image = None
 
+# Test hook: force the native C++ warp even when cv2 exists.
+_FORCE_NATIVE = bool(__import__("os").environ.get("VGM_FORCE_NATIVE_WARP"))
+
 
 def _host_perspective_crop(img: np.ndarray, bbox, out_w: int,
                            out_h: int) -> np.ndarray:
-    """cv2 warp with the reference's flags (vae-gan.py:178-179)."""
+    """Host warp with the reference's semantics (vae-gan.py:178-179).
+
+    Uses cv2 when available (fastest, bit-matches the reference); otherwise
+    the framework's own native C++ warp (data/native_warp.py), which agrees
+    with cv2 to <=1 gray level — so the framework has no hard cv2
+    dependency.
+    """
     pts_src = np.asarray(bbox, np.float32).reshape(4, 2)
-    pts_dst = np.array([[0, 0], [out_w - 1, 0], [out_w - 1, out_h - 1],
-                        [0, out_h - 1]], np.float32)
-    m = cv2.getPerspectiveTransform(pts_src, pts_dst)
-    return cv2.warpPerspective(img, m, (out_w, out_h),
-                               flags=cv2.INTER_LINEAR,
-                               borderMode=cv2.BORDER_REPLICATE)
+    if cv2 is not None and not _FORCE_NATIVE:
+        pts_dst = np.array([[0, 0], [out_w - 1, 0], [out_w - 1, out_h - 1],
+                            [0, out_h - 1]], np.float32)
+        m = cv2.getPerspectiveTransform(pts_src, pts_dst)
+        return cv2.warpPerspective(img, m, (out_w, out_h),
+                                   flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_REPLICATE)
+    from vae_gan_mark_tpu.data import native_warp
+    if not native_warp.available():
+        raise RuntimeError("neither cv2 nor the native warp library is "
+                           "available (run tools/build_native.py)")
+    return native_warp.perspective_crop(img, pts_src, out_w, out_h)
 
 
 def load_sample(sample: Sample, cfg: VariantConfig):
