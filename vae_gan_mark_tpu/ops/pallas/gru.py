@@ -51,6 +51,7 @@ def _gru_kernel(xproj_ref, whh_ref, bhh_ref, out_ref, h_scratch):
     def body(t, _):
         xp = xproj_ref[t]                                  # (B, 3H)
         hp = jnp.dot(h_scratch[:], whh_ref[:],
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32) + bhh_ref[:]
         xr = xp[:, :hidden]
         xz = xp[:, hidden:2 * hidden]
