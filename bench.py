@@ -41,7 +41,7 @@ def main():
         batch_sizes = tuple(int(x) for x in
                             os.environ["BENCH_BATCH_SIZES"].split(","))
     else:
-        batch_sizes = (16, 64) if platform != "cpu" else (16,)
+        batch_sizes = (16, 64, 128) if platform != "cpu" else (16,)
     steps = 20 if platform != "cpu" else 3
 
     cfg = get_config("v2")  # full 448x64, bfloat16 compute
