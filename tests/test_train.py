@@ -205,3 +205,61 @@ def test_trainer_fit_synthetic(tmp_path):
     trainer2 = Trainer(cfg, train_data, val_data, workdir=str(tmp_path),
                        use_mesh=False)
     assert trainer2.epoch == 2
+
+
+@pytest.mark.parametrize("variant", ["lr_sh", "unet"])
+def test_remaining_variants_train_step(variant):
+    cfg, ds, state, vgg = make_setup(variant)
+    step = jit_train_step(cfg)
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    state, m = step(state, vgg, batch, jax.random.PRNGKey(1),
+                    jnp.float32(cfg.kl_weight))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_full_loss_val_flavor():
+    """lr_sh/v2/oldv compute every loss in validation
+    (vae-gan-lr-sh.py:409-524); the Trainer must log them all."""
+    cfg = get_config("lr_sh", **{**TINY, "enc_chans": (8, 16, 24, 32)})
+    assert cfg.full_loss_val
+    ds = SyntheticPatchDataset(cfg, num_samples=16, seed=0)
+
+    def data(epoch):
+        for i in range(2):
+            yield ds.batch(8, i)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(cfg, data, data, workdir=wd, use_mesh=False)
+        trainer.fit(epochs=1)
+        import json
+        lines = [json.loads(line) for line in
+                 open(os.path.join(wd, "lr_sh.metrics.jsonl"))]
+        last = lines[-1]
+        for key in ("val/recon_loss", "val/generator_loss",
+                    "val/discriminator_loss", "val/kl_loss",
+                    "val/gan_loss_g", "val/perceptual_loss", "val/psnr"):
+            assert key in last, key
+
+
+def test_scheduler_reduces_lr_on_plateau_in_trainer():
+    """End-to-end: constant val loss for > patience epochs lowers both LRs."""
+    from vae_gan_mark_tpu.config import SchedulerConfig
+    cfg = get_config("v2", **TINY,
+                     scheduler=SchedulerConfig(factor=0.5, patience=1,
+                                               threshold=1e-4, min_lr=1e-7))
+    ds = SyntheticPatchDataset(cfg, num_samples=8, seed=0)
+
+    def data(epoch):
+        yield ds.batch(8, 0)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(cfg, data, data, workdir=wd, use_mesh=False)
+        lr0 = get_lr(trainer.state.opt_g)
+        trainer.fit(epochs=4)
+        # With patience=1, 4 epochs of non-improving val reduce LR at least
+        # once (epoch 1 sets best; epochs 2-4 are bad).
+        assert get_lr(trainer.state.opt_g) < lr0
+        assert get_lr(trainer.state.opt_d) < lr0
