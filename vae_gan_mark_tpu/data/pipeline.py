@@ -146,8 +146,6 @@ class HostWarpLoader:
                 self.seed + epoch).permutation(order)
         b = self.batch_size
         limit = len(order) - (len(order) % b) if self.drop_last else len(order)
-        if limit == 0 and not self.drop_last:
-            limit = len(order)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, limit, b):
                 chunk = order[start:start + b]

@@ -140,13 +140,14 @@ class Trainer:
         kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
         sums, n_samples = {}, 0
         triplets = []
-        for batch in self.val_data(epoch):
+        for batch_idx, batch in enumerate(self.val_data(epoch)):
             if batch is None:
                 continue
             host_batch = batch
             batch = self._put(batch)
             metrics, fake = self.eval_step(
-                self.state, self.vgg_params, batch, self.rng, kl_w)
+                self.state, self.vgg_params, batch,
+                jax.random.fold_in(self.rng, batch_idx), kl_w)
             bsz = batch["ru"].shape[0]
             n_samples += bsz
             for k, v in metrics.items():

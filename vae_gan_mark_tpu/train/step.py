@@ -148,6 +148,8 @@ def build_eval_step(cfg: VariantConfig):
 
     def step(state: TrainState, vgg_params, batch: Batch, rng: jax.Array,
              kl_weight: jnp.ndarray):
+        # Callers fold a per-batch counter into ``rng`` so every val batch
+        # draws fresh reparameterization noise (reference: randn per batch).
         rng_sample = jax.random.fold_in(rng, state.step)
         real = batch["en"]
         (fake, mu, logvar) = g_model.apply(
