@@ -86,15 +86,44 @@ def test_fast_path_gradients_match():
             rtol=2e-3, atol=1e-4, err_msg=key)
 
 
-def test_oldv_height4_uses_naive_path():
-    """text height 4 (oldv) must fall back to the exact naive path."""
+@pytest.mark.parametrize("h,w,h_t,w_t", [(8, 16, 4, 8), (64, 448, 4, 28),
+                                         (16, 32, 3, 8)])
+def test_strip_path_taller_text_maps(h, w, h_t, w_t):
+    """oldv-style text maps (height > 1) use the strip-factored path — must
+    equal the naive full-resolution conv exactly."""
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.normal(0, 1, (1, 8, 16, 4)), jnp.float32)
-    tmap = jnp.asarray(rng.normal(0, 1, (1, 4, 8, 6)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (2, h, w, 4)), jnp.float32)
+    tmap = jnp.asarray(rng.normal(0, 1, (2, h_t, w_t, 6)), jnp.float32)
     m = SpatialFiLM(num_features_main=4, train=True, fast=True)
     variables = m.init(jax.random.PRNGKey(0), x, tmap)
-    out, _ = m.apply(variables, x, tmap, mutable=["batch_stats"])
+    out, bs = m.apply(variables, x, tmap, mutable=["batch_stats"])
     m2 = SpatialFiLM(num_features_main=4, train=True, fast=False)
-    out2, _ = m2.apply(variables, x, tmap, mutable=["batch_stats"])
+    out2, bs2 = m2.apply(variables, x, tmap, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-3, atol=5e-5)
+    for key in ("bn_mean", "bn_var"):
+        np.testing.assert_allclose(
+            np.asarray(bs["batch_stats"][key]),
+            np.asarray(bs2["batch_stats"][key]), rtol=1e-4, atol=1e-6)
+
+
+def test_strip_path_gradients_match():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 12, 32, 6)), jnp.float32)
+    tmap = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 4)), jnp.float32)
+    base = SpatialFiLM(num_features_main=6, train=True, fast=False)
+    variables = base.init(jax.random.PRNGKey(0), x, tmap)
+
+    def loss(params, fast):
+        m = SpatialFiLM(num_features_main=6, train=True, fast=fast)
+        out, _ = m.apply({"params": params,
+                          "batch_stats": variables["batch_stats"]},
+                         x, tmap, mutable=["batch_stats"])
+        return jnp.sum(jnp.sin(out))
+
+    g_naive = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_fast = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for key in g_naive:
+        np.testing.assert_allclose(
+            np.asarray(g_fast[key]), np.asarray(g_naive[key]),
+            rtol=2e-3, atol=1e-4, err_msg=key)

@@ -102,8 +102,7 @@ class SpatialFiLM(nn.Module):
         gb_bias = self.param("gb_bias", nn.initializers.zeros, (c_out,),
                              jnp.float32)
 
-        use_fast = (self.fast and text_map.shape[1] == 1 and h >= 3)
-        if use_fast:
+        if self.fast and text_map.shape[1] == 1 and h >= 3:
             gamma, beta = self._fast_path(
                 x, text_map, predict_kernel, bn_scale, bn_bias,
                 ra_mean, ra_var, gb_kernel, gb_bias)
@@ -113,6 +112,26 @@ class SpatialFiLM(nn.Module):
             mid = gamma[:, 1:2] * x[:, 1:h - 1] + beta[:, 1:2]
             bot = gamma[:, 2:3] * x[:, h - 1:h] + beta[:, 2:3]
             return jnp.concatenate([top, mid, bot], axis=1)
+
+        if self.fast and 1 < text_map.shape[1] < h:
+            # Strip-factored path for taller text maps (oldv's height 4):
+            # the y-upsampled map is a static linear combination of h_t
+            # source strips, so conv3x3(upsample(t)) = sum over kernel rows
+            # of interp-matrix @ (1-D x-conv of the strips). Exact; kills
+            # the O(H*W*9*C^2) conv, keeping only O(h_t*W*3*C^2) + the
+            # (bandwidth-bound) combination and the downstream 1x1.
+            t = self._strip_conv(x, text_map, predict_kernel)
+            t = self._batch_norm(t, bn_scale, bn_bias, ra_mean, ra_var,
+                                 weights=None)
+            t = nn.relu(t).astype(self.dtype)
+            gb = jax.lax.conv_general_dilated(
+                t, gb_kernel.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self._precision)
+            gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)
+            gamma = gb[..., :self.num_features_main]
+            beta = gb[..., self.num_features_main:]
+            return gamma * x + beta
 
         t = interpolate_bilinear(text_map, h, w).astype(self.dtype)
         t = jax.lax.conv_general_dilated(
@@ -165,6 +184,45 @@ class SpatialFiLM(nn.Module):
         gb = (gb + gb_bias.astype(gb.dtype)).astype(self.dtype)  # (B,3,W,2C)
         return (gb[..., :self.num_features_main],
                 gb[..., self.num_features_main:])
+
+    def _strip_conv(self, x, text_map, predict_kernel):
+        """conv3x3(bilinear_upsample(text_map)) via source-strip factoring.
+
+        The exact y-interpolation matrix W (h, h_t) is extracted by resizing
+        an identity matrix with the very same resize op, so any edge/weight
+        convention matches by construction. For kernel row k (offset
+        k-1), the contribution to output row y is W[y+k-1] . conv_k(strips),
+        zero when y+k-1 falls outside the image (the conv's zero padding).
+        """
+        h, w = x.shape[1], x.shape[2]
+        h_t = text_map.shape[1]
+        t_x = interpolate_bilinear(text_map, h_t, w)      # x-interp only
+        t_x = t_x.astype(self.dtype)
+        # Exact y-interp matrix via resize of the identity.
+        eye = jnp.eye(h_t, dtype=jnp.float32)
+        w_interp = jax.image.resize(eye, (h, h_t), method="linear",
+                                    antialias=False)      # (h, h_t)
+        out = None
+        k = predict_kernel                                 # (3, 3, Ct, Ct)
+        for ki in range(3):
+            conv_k = jax.lax.conv_general_dilated(
+                t_x, k[ki][None].astype(self.dtype), (1, 1),
+                ((0, 0), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self._precision)                 # (B, h_t, w, Ct)
+            offset = ki - 1
+            # Rows of W shifted by the kernel offset, zero outside [0, h).
+            a = jnp.zeros((h, h_t), jnp.float32)
+            if offset == -1:
+                a = a.at[1:].set(w_interp[:-1])
+            elif offset == 0:
+                a = w_interp
+            else:
+                a = a.at[:-1].set(w_interp[1:])
+            contrib = jnp.einsum("hj,bjwc->bhwc", a,
+                                 conv_k.astype(jnp.float32))
+            out = contrib if out is None else out + contrib
+        return out.astype(self.dtype)
 
     def _batch_norm(self, t, scale, bias, ra_mean, ra_var, weights):
         """torch-semantics BN; ``weights`` are per-row multiplicities for the
