@@ -111,7 +111,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> dict:
         kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
-        sums, count = {}, 0
+        # Metric sums stay on device; one host transfer per epoch. A
+        # per-step fetch would cost several tunnel round-trips per step and
+        # serialize dispatch against execution.
+        sums, count = None, 0
         t0 = time.time()
         images = 0
         for batch in self.train_data(epoch):
@@ -121,15 +124,16 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, self.vgg_params, batch, self.rng, kl_w)
             images += batch["ru"].shape[0]
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+            sums = metrics if sums is None else jax.tree.map(
+                jnp.add, sums, metrics)
             count += 1
-            if self.nan_guard and not np.isfinite(float(metrics["loss_G"])):
-                raise FloatingPointError(
-                    f"non-finite generator loss at epoch {epoch}, "
-                    f"step {int(self.state.step)}")
+        avg = {k: float(v) / max(count, 1)
+               for k, v in (sums or {}).items()}  # forces completion
         dt = time.time() - t0
-        avg = {k: v / max(count, 1) for k, v in sums.items()}
+        if self.nan_guard and avg and not np.isfinite(avg["loss_G"]):
+            raise FloatingPointError(
+                f"non-finite generator loss in epoch {epoch} "
+                f"(enable utils.debug.enable_nan_debugging to localize)")
         avg["images_per_sec"] = images / max(dt, 1e-9)
         avg["kl_weight"] = float(kl_w)
         return avg
@@ -138,7 +142,7 @@ class Trainer:
         if self.val_data is None:
             return {}
         kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
-        sums, n_samples = {}, 0
+        sums, n_samples = None, 0
         triplets = []
         for batch_idx, batch in enumerate(self.val_data(epoch)):
             if batch is None:
@@ -150,15 +154,17 @@ class Trainer:
                 jax.random.fold_in(self.rng, batch_idx), kl_w)
             bsz = batch["ru"].shape[0]
             n_samples += bsz
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v) * bsz
+            weighted = jax.tree.map(lambda v: v * bsz, metrics)
+            sums = weighted if sums is None else jax.tree.map(
+                jnp.add, sums, weighted)
             if len(triplets) < 16:
                 fake_np = np.asarray(fake)
                 for i in range(min(bsz, 16 - len(triplets))):
                     triplets.append((np.asarray(host_batch["ru"][i]),
                                      np.asarray(host_batch["en"][i]),
                                      fake_np[i], f"epoch {epoch}"))
-        avg = {k: v / max(n_samples, 1) for k, v in sums.items()}
+        avg = {k: float(v) / max(n_samples, 1)
+               for k, v in (sums or {}).items()}
         if triplets:
             self.logger.log_images(triplets, step=epoch + 1)
         return avg
