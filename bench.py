@@ -48,7 +48,8 @@ def main():
         batch_sizes = (128,) if platform != "cpu" else (16,)
     steps = 20 if platform != "cpu" else 3
 
-    cfg = get_config("v2")  # full 448x64, bfloat16 compute
+    variant = os.environ.get("BENCH_VARIANT", "v2")
+    cfg = get_config(variant)  # full 448x64, bfloat16 compute
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
@@ -97,7 +98,7 @@ def main():
     log(f"[bench] baseline: {baseline_note}")
 
     print(json.dumps({
-        "metric": f"v2 train-step images/sec/chip "
+        "metric": f"{variant} train-step images/sec/chip "
                   f"(448x64, bf16, batch {best_bs}, {platform}; "
                   f"baseline = from-spec torch v2 step on this host's CPU)",
         "value": round(best_ips, 2),
