@@ -50,6 +50,10 @@ def main():
 
     variant = os.environ.get("BENCH_VARIANT", "v2")
     cfg = get_config(variant)  # full 448x64, bfloat16 compute
+
+    if os.environ.get("BENCH_MODE") == "infer":
+        return bench_inference(cfg, variant, platform, batch_sizes)
+
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
@@ -104,6 +108,52 @@ def main():
         "value": round(best_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+def bench_inference(cfg, variant, platform, batch_sizes):
+    """Serving-path throughput: eval-mode generator forward (BENCH_MODE=infer)."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+    from vae_gan_mark_tpu.models import VAEGANGenerator
+
+    steps = 30 if platform != "cpu" else 3
+    best_ips, best_bs = 0.0, 0
+    for bs in batch_sizes:
+        ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
+        b = {k: jnp.asarray(v) for k, v in ds.batch(bs, 0).items()}
+        model = VAEGANGenerator(cfg=cfg, train=False)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            b["ru"], b["mask"], b["text"])
+
+        @jax.jit
+        def fwd(variables, ru, mask, text, rng):
+            return model.apply(variables, ru, mask, text,
+                               rngs={"sample": rng})[0]
+
+        rng = jax.random.PRNGKey(3)
+        out = fwd(variables, b["ru"], b["mask"], b["text"], rng)
+        float(out.sum())
+        t0 = _time.time()
+        for i in range(steps):
+            out = fwd(variables, b["ru"], b["mask"], b["text"],
+                      jax.random.fold_in(rng, i))
+        float(out.sum())
+        ips = steps * bs / (_time.time() - t0)
+        log(f"[bench-infer] bs={bs}: {ips:.1f} images/sec")
+        if ips > best_ips:
+            best_ips, best_bs = ips, bs
+    print(json.dumps({
+        "metric": f"{variant} inference images/sec/chip "
+                  f"(448x64, bf16, batch {best_bs}, {platform})",
+        "value": round(best_ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
     }))
 
 

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of epoch 2 here")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable the device mesh (single device)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax NaN localization (the heavyweight "
+                        "equivalent of torch detect_anomaly)")
     # Any config field is overridable: --set epochs=10 --set lr_g=2e-4
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL",
                    help="override a VariantConfig field")
@@ -78,6 +81,10 @@ def main(argv=None):
     cfg = get_config(args.variant, **overrides)
 
     from vae_gan_mark_tpu.train.loop import Trainer
+
+    if args.debug_nans:
+        from vae_gan_mark_tpu.utils.debug import enable_nan_debugging
+        enable_nan_debugging()
 
     if args.synthetic:
         from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset

@@ -220,7 +220,8 @@ class SpatialFiLM(nn.Module):
             else:
                 a = a.at[:-1].set(w_interp[1:])
             contrib = jnp.einsum("hj,bjwc->bhwc", a,
-                                 conv_k.astype(jnp.float32))
+                                 conv_k.astype(jnp.float32),
+                                 precision=jax.lax.Precision.HIGHEST)
             out = contrib if out is None else out + contrib
         return out.astype(self.dtype)
 
