@@ -161,3 +161,48 @@ class TestKL:
                                 dim=[1, 2, 3])
         ref = torch.mean(ref)
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+class TestSpectralNorm:
+    def test_matches_torch_spectral_norm(self):
+        """Port a torch conv weight + u vector; after one power iteration the
+        normalized weights must match torch.nn.utils.spectral_norm."""
+        from vae_gan_mark_tpu.ops.norms import spectral_normalize
+        torch.manual_seed(0)
+        conv = torch.nn.Conv2d(3, 8, 4, 2, 1, bias=False)
+        sn_conv = torch.nn.utils.spectral_norm(conv)
+        u_before = sn_conv.weight_u.detach().numpy().copy()
+        w_orig = sn_conv.weight_orig.detach().numpy().copy()
+        sn_conv.train()
+        x = torch.randn(1, 3, 16, 16)
+        _ = sn_conv(x)  # one forward = one power iteration
+        w_sn_torch = sn_conv.weight.detach().numpy()    # (out, in, kh, kw)
+        u_after = sn_conv.weight_u.detach().numpy()
+
+        # Run our power iteration from the SAME initial u (torch updates u
+        # and v first, then sigma = u_new . W v — exactly update=True here).
+        # The matrix flattening orders differ (in*kh*kw vs kh*kw*in) but u,
+        # sigma, and the normalized weight are column-permutation-invariant.
+        kernel = jnp.asarray(np.transpose(w_orig, (2, 3, 1, 0)))  # HWIO
+        w_ours, u_new = spectral_normalize(
+            kernel, jnp.asarray(u_before), update=True)
+        w_ours_oihw = np.transpose(np.asarray(w_ours), (3, 2, 0, 1))
+        np.testing.assert_allclose(w_ours_oihw, w_sn_torch,
+                                   rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(u_new), u_after,
+                                   rtol=1e-3, atol=1e-5)
+
+    def test_power_iteration_converges_to_sigma(self):
+        """Repeated iterations approach the true spectral norm."""
+        from vae_gan_mark_tpu.ops.norms import spectral_normalize
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        kernel = jnp.asarray(rng.normal(0, 1, (3, 3, 4, 6)), np.float32)
+        u = jnp.asarray(rng.normal(0, 1, (6,)), np.float32)
+        u = u / np.linalg.norm(np.asarray(u))
+        for _ in range(50):
+            w_sn, u = spectral_normalize(kernel, u, update=True)
+        # The normalized weight's largest singular value must be ~1.
+        mat = np.asarray(w_sn).transpose(3, 0, 1, 2).reshape(6, -1)
+        sigma = np.linalg.svd(mat, compute_uv=False)[0]
+        assert abs(sigma - 1.0) < 1e-3, sigma

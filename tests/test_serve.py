@@ -84,3 +84,14 @@ def test_from_checkpoint(tmp_path):
         np.zeros((1, cfg.patch_h, cfg.patch_w, 3), np.float32),
         np.zeros((1, cfg.patch_h, cfg.patch_w, 1), np.float32), ["hi"])
     assert out.shape == (1, cfg.patch_h, cfg.patch_w, 3)
+
+
+def test_generate_chunks_large_requests():
+    cfg, engine = make_engine(batch_size=2)
+    rng = np.random.default_rng(4)
+    ru = rng.uniform(0, 1, (5, cfg.patch_h, cfg.patch_w, 3)).astype(
+        np.float32)
+    mask = np.zeros((5, cfg.patch_h, cfg.patch_w, 1), np.float32)
+    out = engine.generate(ru, mask, ["a", "b", "c", "d", "e"])
+    assert out.shape == (5, cfg.patch_h, cfg.patch_w, 3)
+    assert np.all(np.isfinite(out))

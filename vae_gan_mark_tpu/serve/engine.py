@@ -79,17 +79,28 @@ class InferenceEngine:
     def generate(self, ru: np.ndarray, mask: np.ndarray,
                  texts: Sequence[str],
                  rng: Optional[jax.Array] = None) -> np.ndarray:
-        """ru (B,H,W,3), mask (B,H,W,1) float [0,1]; returns EN patches."""
+        """ru (N,H,W,3), mask (N,H,W,1) float [0,1]; returns EN patches.
+
+        Any N: inputs are processed in fixed-size chunks (padded at the
+        tail), so the compiled executable is reused for every request size.
+        """
         n = ru.shape[0]
-        assert n <= self.batch_size, (n, self.batch_size)
-        text = self._encode_texts(list(texts) + [""] * (self.batch_size - n))
+        texts = list(texts)
         rng = rng if rng is not None else self._rng
-        out = self._forward(
-            self._variables,
-            jnp.asarray(self._pad(np.asarray(ru, np.float32))),
-            jnp.asarray(self._pad(np.asarray(mask, np.float32))),
-            jnp.asarray(text), rng)
-        return np.asarray(out)[:n]
+        outs = []
+        for start in range(0, n, self.batch_size):
+            end = min(start + self.batch_size, n)
+            m = end - start
+            text = self._encode_texts(
+                texts[start:end] + [""] * (self.batch_size - m))
+            out = self._forward(
+                self._variables,
+                jnp.asarray(self._pad(np.asarray(ru[start:end], np.float32))),
+                jnp.asarray(self._pad(np.asarray(mask[start:end],
+                                                 np.float32))),
+                jnp.asarray(text), jax.random.fold_in(rng, start))
+            outs.append(np.asarray(out)[:m])
+        return np.concatenate(outs, axis=0)
 
     def render(self, image: np.ndarray, mask_image: np.ndarray,
                quad: np.ndarray, text: str,
