@@ -56,3 +56,32 @@ def test_matches_host_loader(tmp_path):
         # device float): small mean difference allowed.
         assert np.mean(np.abs(a - b)) < 0.02, key
     np.testing.assert_array_equal(hb["text"], db["text"])
+
+
+def test_train_step_with_device_loader(tmp_path):
+    """Train a couple of steps fed by the device-warp pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from vae_gan_mark_tpu.models.vgg import load_vgg_params
+    from vae_gan_mark_tpu.train.state import create_train_state
+    from vae_gan_mark_tpu.train.step import jit_train_step
+
+    dirs = make_dataset(str(tmp_path), n_images=2)
+    cfg = get_config("v2", patch_h=32, patch_w=64, compute_dtype="float32",
+                     enc_chans=(8, 16, 24, 32), bottleneck_ch=48, z_ch=16,
+                     char_emb_dim=16, char_rnn_hidden=16, max_text_len=12,
+                     batch_size=4)
+    samples = build_index(dirs["json"], dirs["ru"], dirs["en"], dirs["mask"])
+    loader = DeviceWarpLoader(cfg, samples, list(range(len(samples))),
+                              batch_size=4, shuffle=False, num_workers=2)
+    it = iter(loader(0))
+    batch0 = next(it)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
+    vgg = load_vgg_params()
+    step = jit_train_step(cfg)
+    state, m = step(state, vgg, batch0, jax.random.PRNGKey(1),
+                    jnp.float32(1e-4))
+    batch1 = next(it)
+    state, m = step(state, vgg, batch1, jax.random.PRNGKey(1),
+                    jnp.float32(1e-4))
+    assert np.isfinite(float(m["loss_G"]))
