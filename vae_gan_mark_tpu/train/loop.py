@@ -196,6 +196,9 @@ class Trainer:
             if val_metrics:
                 log["val/recon_loss"] = val_recon
                 log["val/psnr"] = val_metrics.get("psnr", 0.0)
+                log["val/masked_l1"] = val_metrics.get("masked_l1", 0.0)
+                log["val/mark_recovery"] = val_metrics.get(
+                    "mark_recovery", 0.0)
                 if cfg.full_loss_val:
                     log["val/generator_loss"] = val_metrics.get("loss_G", 0.0)
                     log["val/discriminator_loss"] = val_metrics.get(

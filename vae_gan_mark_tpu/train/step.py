@@ -171,9 +171,15 @@ def build_eval_step(cfg: VariantConfig):
                  + cfg.gan_weight * gan + cfg.perc_weight * perc)
         mse = jnp.mean(jnp.square(fake - real))
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+        # BASELINE.json round-trip metrics: text-region-restricted error and
+        # mark-recovery rate (fraction of masked pixels within tolerance).
+        from vae_gan_mark_tpu.eval import mark_recovery_rate, masked_l1
+        m_l1 = masked_l1(fake, real, batch["mask"])
+        recovery = mark_recovery_rate(fake, real, batch["mask"])
         metrics = {
             "recon": recon_l, "kl": kl, "gan_g": gan, "perc": perc,
             "loss_G": total, "loss_D": loss_d, "psnr": psnr,
+            "masked_l1": m_l1, "mark_recovery": recovery,
         }
         return metrics, fake
 
