@@ -16,7 +16,6 @@ embeddings are precomputed in the input pipeline (SURVEY.md §7 hard-part 6):
 from __future__ import annotations
 
 import hashlib
-from functools import lru_cache
 from typing import Iterable, List
 
 import numpy as np

@@ -12,8 +12,6 @@ stream; GRU inter-layer dropout uses ``dropout``.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 from flax import linen as nn
 

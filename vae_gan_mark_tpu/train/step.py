@@ -24,7 +24,6 @@ The KL weight is a traced scalar argument so KL annealing never recompiles.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
