@@ -17,6 +17,7 @@ from flax import linen as nn
 from vae_gan_mark_tpu.ops.convblocks import (
     DoubleConvBlock, TConv, TConvBNRelu)
 from vae_gan_mark_tpu.ops.film import GatedSkip, SpatialFiLM
+from vae_gan_mark_tpu.ops.precision import precision_for
 from vae_gan_mark_tpu.ops.resize import interpolate_bilinear
 
 
@@ -45,6 +46,7 @@ class PlainDecoder(nn.Module):
             x = TConvBNRelu(c, (4, 4), strides=(2, 2), torch_padding=(1, 1),
                             train=self.train, dtype=self.dtype)(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                    precision=precision_for(self.dtype),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         return nn.sigmoid(x)
 
@@ -106,5 +108,6 @@ class UNetStyleDecoder(nn.Module):
             x = DoubleConvBlock(c, train=self.train, dtype=self.dtype)(x)
 
         x = nn.Conv(self.out_ch, (1, 1), padding="VALID", dtype=self.dtype,
+                    precision=precision_for(self.dtype),
                     param_dtype=jnp.float32)(x)
         return nn.sigmoid(x)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.norms import InstanceNorm, SpectralConv
+from vae_gan_mark_tpu.ops.precision import precision_for
 
 
 class PatchDiscriminator(nn.Module):
@@ -37,5 +38,6 @@ class PatchDiscriminator(nn.Module):
             x = InstanceNorm(dtype=self.dtype)(x)
             x = nn.leaky_relu(x, 0.2)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=((1, 1), (1, 1)),
+                    precision=precision_for(self.dtype),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         return x

@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.convblocks import (
     ConvBNRelu, DoubleConvBlock, max_pool_2x2)
+from vae_gan_mark_tpu.ops.precision import precision_for
 
 
 class _LatentHeads(nn.Module):
@@ -26,10 +27,12 @@ class _LatentHeads(nn.Module):
     def __call__(self, h) -> Tuple[jnp.ndarray, jnp.ndarray]:
         kh, kw = h.shape[1], h.shape[2]
         mu = nn.Conv(self.z_ch, (kh, kw), padding="VALID", dtype=self.dtype,
+                     precision=precision_for(self.dtype),
                      param_dtype=jnp.float32, name="mu_head")(h)
         logvar = nn.Conv(self.z_ch, (kh, kw), padding="VALID",
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name="logvar_head")(h)
+                         dtype=self.dtype,
+                         precision=precision_for(self.dtype),
+                         param_dtype=jnp.float32, name="logvar_head")(h)
         return mu, logvar
 
 

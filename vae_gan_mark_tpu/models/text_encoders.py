@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.pool import adaptive_avg_pool1d
+from vae_gan_mark_tpu.ops.precision import precision_for
 from vae_gan_mark_tpu.ops.rnn import BiGRU
 
 
@@ -35,6 +36,7 @@ class SbertProjector(nn.Module):
     @nn.compact
     def __call__(self, emb):
         return nn.Dense(self.out_dim, dtype=self.dtype,
+                        precision=precision_for(self.dtype),
                         param_dtype=jnp.float32)(emb)
 
 
@@ -104,6 +106,7 @@ class CharTextEncoderPosEnc(nn.Module):
         ch = 2 * self.rnn_hidden
         # Conv1d(512, 512, k3, p1) over the sequence axis.
         y = nn.Conv(ch, (3,), padding=((1, 1),), dtype=self.dtype,
+                    precision=precision_for(self.dtype),
                     param_dtype=jnp.float32)(y)
         y = adaptive_avg_pool1d(y, self.out_width)        # (B, W_t, 2H)
         y = jnp.broadcast_to(y[:, None, :, :],

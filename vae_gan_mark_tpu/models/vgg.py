@@ -58,7 +58,9 @@ class VGG16Features(nn.Module):
             if c == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
+                from vae_gan_mark_tpu.ops.precision import precision_for
                 x = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                            precision=precision_for(self.dtype),
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name=f"conv{conv_idx}")(x)
                 x = nn.relu(x)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.norms import BatchNorm
+from vae_gan_mark_tpu.ops.precision import precision_for
 
 
 def max_pool_2x2(x):
@@ -40,6 +41,7 @@ class ConvBNRelu(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
                     padding=self.padding, use_bias=self.use_bias,
+                    precision=precision_for(self.dtype),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         return nn.relu(x)
@@ -102,4 +104,5 @@ class TConv(nn.Module):
         pad = ((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw))
         return nn.ConvTranspose(
             self.features, self.kernel_size, strides=self.strides,
-            padding=pad, dtype=self.dtype, param_dtype=jnp.float32)(x)
+            padding=pad, precision=precision_for(self.dtype),
+            dtype=self.dtype, param_dtype=jnp.float32)(x)

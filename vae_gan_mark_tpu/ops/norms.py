@@ -170,11 +170,13 @@ class SpectralConv(nn.Module):
                                          update=self.update_sn)
         if self.update_sn and not self.is_initializing():
             u_var.value = u_new
+        from vae_gan_mark_tpu.ops.precision import precision_for
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w_sn.astype(self.dtype),
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision_for(self.dtype),
             preferred_element_type=jnp.float32,
         )
         return (y + bias).astype(self.dtype)
