@@ -14,5 +14,11 @@ import jax.numpy as jnp
 
 
 def precision_for(dtype) -> jax.lax.Precision | None:
-    return (jax.lax.Precision.HIGHEST
+    """HIGHEST (true f32, 6 bf16 passes) is only needed where bit-level
+    agreement with another f32 implementation matters; HIGH (3 passes,
+    ~f32-accurate) satisfies the 1e-3/1e-4 parity tolerances at half the
+    cost and is what float32 mode uses for convs/dense layers. Reductions
+    and small matmuls that demand exactness request HIGHEST explicitly at
+    their call sites."""
+    return (jax.lax.Precision.HIGH
             if jnp.dtype(dtype) == jnp.float32 else None)
