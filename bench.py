@@ -29,7 +29,7 @@ def main():
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from vae_gan_mark_tpu.config import get_config
-    from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+    from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
     from vae_gan_mark_tpu.models.vgg import load_vgg_params
     from vae_gan_mark_tpu.train.state import create_train_state
     from vae_gan_mark_tpu.train.step import jit_train_step
@@ -57,7 +57,7 @@ def main():
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
-        batch = {k: jnp.asarray(v) for k, v in ds.batch(bs, 0).items()}
+        batch = device_batch(ds.batch(bs, 0))
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
         vgg = load_vgg_params()
         step = jit_train_step(cfg)
@@ -116,14 +116,14 @@ def bench_inference(cfg, variant, platform, batch_sizes):
     import time as _time
     import jax
     import jax.numpy as jnp
-    from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+    from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
     from vae_gan_mark_tpu.models import VAEGANGenerator
 
     steps = 30 if platform != "cpu" else 3
     best_ips, best_bs = 0.0, 0
     for bs in batch_sizes:
         ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
-        b = {k: jnp.asarray(v) for k, v in ds.batch(bs, 0).items()}
+        b = device_batch(ds.batch(bs, 0))
         model = VAEGANGenerator(cfg=cfg, train=False)
         variables = model.init(
             {"params": jax.random.PRNGKey(0),

@@ -16,7 +16,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
+
+
+def pytest_collection_modifyitems(items):
+    """Every test not explicitly marked ``slow`` is part of the fast tier,
+    so ``pytest -m fast`` selects the quick unit suite."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
 
 # Persistent compilation cache: full-resolution model compiles dominate test
 # time; cache them across pytest runs.

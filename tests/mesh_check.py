@@ -28,7 +28,7 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache_cpu")
 
 from vae_gan_mark_tpu.config import get_config  # noqa: E402
-from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset  # noqa: E402
+from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset  # noqa: E402
 from vae_gan_mark_tpu.models.vgg import load_vgg_params  # noqa: E402
 from vae_gan_mark_tpu.parallel.mesh import (  # noqa: E402
     make_mesh, partition_params, replicate_tree, shard_batch)
@@ -44,7 +44,7 @@ def main():
                      char_emb_dim=16, char_rnn_hidden=16, max_text_len=12,
                      batch_size=8)
     ds = SyntheticPatchDataset(cfg, num_samples=32, seed=0)
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    batch = device_batch(ds.batch(8, 0))
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     vgg = load_vgg_params()
     step = jax.jit(build_train_step(cfg))

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from vae_gan_mark_tpu.config import get_config
 from vae_gan_mark_tpu.models import PatchDiscriminator, VAEGANGenerator
 
+pytestmark = pytest.mark.slow  # full-resolution model compiles
+
 VARIANTS = ["vanilla", "lr_sh", "unet", "v2", "oldv"]
 
 

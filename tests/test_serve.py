@@ -68,13 +68,13 @@ def test_render_full_image():
 
 def test_from_checkpoint(tmp_path):
     import jax.numpy as jnp
-    from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+    from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
     from vae_gan_mark_tpu.train.checkpoint import save_checkpoint
     from vae_gan_mark_tpu.train.schedule import PlateauState
     from vae_gan_mark_tpu.train.state import create_train_state
     cfg = get_config("v2", **TINY)
     ds = SyntheticPatchDataset(cfg, num_samples=4, seed=0)
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(2, 0).items()}
+    batch = device_batch(ds.batch(2, 0))
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     save_checkpoint(str(tmp_path), "best_model", state, 0, 1.0,
                     PlateauState(), PlateauState(), 1e-4, 1e-4)

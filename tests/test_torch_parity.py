@@ -32,6 +32,8 @@ from vae_gan_mark_tpu.models.encoders import UNetEncoder  # noqa: E402
 from vae_gan_mark_tpu.models.text_encoders import CharTextEncoder  # noqa: E402
 from vae_gan_mark_tpu.utils.port_torch import port_v2_generator  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch goldens + full-model parity
+
 RENAME = [
     # (from-spec torch prefix, reference-scheme prefix)
     ("enc.blocks.0.", "style_vae_encoder_module.e_conv1."),

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from vae_gan_mark_tpu.config import get_config
-from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
 from vae_gan_mark_tpu.models.vgg import load_vgg_params
 from vae_gan_mark_tpu.train.checkpoint import (
     restore_checkpoint, save_checkpoint)
@@ -22,6 +22,8 @@ from vae_gan_mark_tpu.train.schedule import (
     PlateauState, kl_weight_for_epoch, plateau_step)
 from vae_gan_mark_tpu.train.state import create_train_state, get_lr, set_lr
 from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
+
+pytestmark = pytest.mark.slow  # multi-step training integration
 
 TINY = dict(patch_h=32, patch_w=64, compute_dtype="float32",
             enc_chans=(8, 16, 24, 32), bottleneck_ch=48, z_ch=16,
@@ -38,7 +40,7 @@ def make_setup(variant="v2", **overrides):
     kw.update(overrides)
     cfg = get_config(variant, **kw)
     ds = SyntheticPatchDataset(cfg, num_samples=64, seed=0)
-    batch0 = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    batch0 = device_batch(ds.batch(8, 0))
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
     vgg = load_vgg_params()
     return cfg, ds, state, vgg
@@ -50,7 +52,7 @@ def test_train_step_runs_and_is_finite(variant):
     step = jit_train_step(cfg)
     rng = jax.random.PRNGKey(1)
     for i in range(3):
-        batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+        batch = device_batch(ds.batch(8, i))
         state, m = step(state, vgg, batch, rng, jnp.float32(1e-4))
         for k, v in m.items():
             assert np.isfinite(float(v)), (k, float(v))
@@ -62,7 +64,7 @@ def test_spectral_u_and_batch_stats_advance():
     step = jit_train_step(cfg)
     u_before = jax.tree.map(np.asarray, state.d_spectral)
     bs_before = jax.tree.map(np.asarray, state.g_batch_stats)
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    batch = device_batch(ds.batch(8, 0))
     state, _ = step(state, vgg, batch, jax.random.PRNGKey(1),
                     jnp.float32(1e-4))
     u_after = jax.tree.map(np.asarray, state.d_spectral)
@@ -83,7 +85,7 @@ def test_vae_loss_decreases():
     rng = jax.random.PRNGKey(2)
     recons = []
     for i in range(60):
-        batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+        batch = device_batch(ds.batch(8, i))
         state, m = step(state, vgg, batch, rng, jnp.float32(1e-5))
         recons.append(float(m["recon"]))
     first, last = np.mean(recons[:10]), np.mean(recons[-10:])
@@ -105,7 +107,7 @@ def test_checkpoint_resume_bitwise(tmp_path):
 
     def advance(s, start, n):
         for i in range(start, start + n):
-            batch = {k: jnp.asarray(v) for k, v in ds.batch(8, i).items()}
+            batch = device_batch(ds.batch(8, i))
             s, m = step(s, vgg, batch, rng, jnp.float32(1e-4))
         return s, m
 
@@ -129,7 +131,7 @@ def test_checkpoint_resume_bitwise(tmp_path):
 def test_eval_step_metrics():
     cfg, ds, state, vgg = make_setup("v2")
     estep = jit_eval_step(cfg)
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    batch = device_batch(ds.batch(8, 0))
     metrics, fake = estep(state, vgg, batch, jax.random.PRNGKey(0),
                           jnp.float32(1e-4))
     assert fake.shape == batch["en"].shape
@@ -211,7 +213,7 @@ def test_trainer_fit_synthetic(tmp_path):
 def test_remaining_variants_train_step(variant):
     cfg, ds, state, vgg = make_setup(variant)
     step = jit_train_step(cfg)
-    batch = {k: jnp.asarray(v) for k, v in ds.batch(8, 0).items()}
+    batch = device_batch(ds.batch(8, 0))
     state, m = step(state, vgg, batch, jax.random.PRNGKey(1),
                     jnp.float32(cfg.kl_weight))
     for k, v in m.items():
@@ -263,3 +265,23 @@ def test_scheduler_reduces_lr_on_plateau_in_trainer():
         # once (epoch 1 sets best; epochs 2-4 are bad).
         assert get_lr(trainer.state.opt_g) < lr0
         assert get_lr(trainer.state.opt_d) < lr0
+
+
+def test_remat_encoder_is_numerically_transparent():
+    """cfg.remat_encoder reruns the encoder in the backward pass
+    (jax.checkpoint); parameters, outputs, and updates must be unchanged."""
+    cfg, ds, state, vgg = make_setup("v2")
+    cfg_r = get_config("v2", **{**TINY, "remat_encoder": True})
+    batch = device_batch(ds.batch(8, 0))
+    rng = jax.random.PRNGKey(1)
+    kl = jnp.float32(1e-4)
+    s_plain, m_plain = jit_train_step(cfg)(state, vgg, batch, rng, kl)
+    # Rebuild the same initial state (step donates its input buffers).
+    _, _, state2, _ = make_setup("v2")
+    s_remat, m_remat = jit_train_step(cfg_r)(state2, vgg, batch, rng, kl)
+    for k in m_plain:
+        np.testing.assert_allclose(float(m_plain[k]), float(m_remat[k]),
+                                   rtol=2e-5, atol=2e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
+        s_plain.g_params, s_remat.g_params)

@@ -188,4 +188,5 @@ class DeviceWarpLoader:
                 ru_p, en_p, mk_p = self._warp(ru, ru_q, en, en_q, env, mk,
                                               mk_q)
                 yield {"ru": ru_p, "en": en_p, "mask": mk_p,
-                       "text": self._encode_text(texts)}
+                       "text": self._encode_text(texts),
+                       "raw_text": texts}

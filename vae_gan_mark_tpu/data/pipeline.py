@@ -160,4 +160,5 @@ class HostWarpLoader:
                 mask = np.stack([s[2] for s in loaded])
                 texts = [s[3] for s in loaded]
                 yield {"ru": ru, "en": en, "mask": mask,
-                       "text": self._encode_text(texts)}
+                       "text": self._encode_text(texts),
+                       "raw_text": texts}

@@ -16,6 +16,16 @@ from vae_gan_mark_tpu.config import VariantConfig
 from vae_gan_mark_tpu.data.tokenizer import CharTokenizer
 
 
+def device_batch(batch: dict) -> dict:
+    """Drop host-only keys (raw_text) and move arrays to the default device.
+
+    For callers that feed the jitted step directly instead of going through
+    ``Trainer`` (which strips host-only keys itself).
+    """
+    import jax.numpy as jnp
+    return {k: jnp.asarray(v) for k, v in batch.items() if k != "raw_text"}
+
+
 class SyntheticPatchDataset:
     def __init__(self, cfg: VariantConfig, num_samples: int = 256,
                  seed: int = 0):
@@ -60,4 +70,5 @@ class SyntheticPatchDataset:
             "en": self.en[idx],
             "mask": self.mask[idx],
             "text": self.text_batch(idx),
+            "raw_text": [self.texts[i] for i in idx],
         }

@@ -38,13 +38,22 @@ class VAEGANGenerator(nn.Module):
         dtype = self.dtype
         x = jnp.concatenate([image, mask], axis=-1).astype(dtype)
 
+        # cfg.remat_encoder: rematerialize the encoder in the backward pass
+        # (jax.checkpoint via flax's lifted transform) — trades encoder
+        # recompute FLOPs for not keeping its activations in HBM, enabling
+        # larger batches. Numerics are unchanged.
+        plain_enc, unet_enc = PlainEncoder, UNetEncoder
+        if cfg.remat_encoder:
+            plain_enc = nn.remat(PlainEncoder)
+            unet_enc = nn.remat(UNetEncoder)
+
         if cfg.generator == "plain":
-            mu, logvar = PlainEncoder(
+            mu, logvar = plain_enc(
                 chans=cfg.enc_chans, z_ch=cfg.z_ch, train=self.train,
                 dtype=dtype, name="encoder")(x)
             skips = None
         else:
-            mu, logvar, skips = UNetEncoder(
+            mu, logvar, skips = unet_enc(
                 chans=cfg.enc_chans, bottleneck_ch=cfg.bottleneck_ch,
                 z_ch=cfg.z_ch, train=self.train, dtype=dtype,
                 name="encoder")(x)

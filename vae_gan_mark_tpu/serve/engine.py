@@ -47,11 +47,11 @@ class InferenceEngine:
     def from_checkpoint(cls, cfg: VariantConfig, workdir: str,
                         name: str = "best_model", batch_size: int = 16,
                         **kwargs) -> "InferenceEngine":
-        from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
+        from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
         from vae_gan_mark_tpu.train.checkpoint import restore_checkpoint
         from vae_gan_mark_tpu.train.state import create_train_state
         ds = SyntheticPatchDataset(cfg, num_samples=2, seed=0)
-        batch = {k: jnp.asarray(v) for k, v in ds.batch(2, 0).items()}
+        batch = device_batch(ds.batch(2, 0))
         abstract = create_train_state(cfg, jax.random.PRNGKey(0), batch)
         restored = restore_checkpoint(workdir, name, abstract)
         if restored is None:

@@ -67,7 +67,8 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
 
         first_batch = next(iter(train_data(0)))
-        init_batch = {k: jnp.asarray(v) for k, v in first_batch.items()}
+        init_batch = {k: jnp.asarray(v) for k, v in first_batch.items()
+                      if k != "raw_text"}
         self.state = create_train_state(cfg, self.rng, init_batch)
         self.vgg_params = load_vgg_params()
         if self.mesh is not None:
@@ -104,6 +105,7 @@ class Trainer:
               f"(best_val={self.best_val:.4f})")
 
     def _put(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if k != "raw_text"}
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -159,10 +161,19 @@ class Trainer:
                 jnp.add, sums, weighted)
             if len(triplets) < 16:
                 fake_np = np.asarray(fake)
+                raw_texts = host_batch.get("raw_text")
                 for i in range(min(bsz, 16 - len(triplets))):
+                    # Caption carries the target text like the reference
+                    # (vae-gan.py:359-361: 50-char truncation).
+                    if raw_texts is not None:
+                        t = raw_texts[i]
+                        label = t[:50] + "..." if len(t) > 50 else t
+                        caption = f"Epoch {epoch} | Target: '{label}'"
+                    else:
+                        caption = f"Epoch {epoch}"
                     triplets.append((np.asarray(host_batch["ru"][i]),
                                      np.asarray(host_batch["en"][i]),
-                                     fake_np[i], f"epoch {epoch}"))
+                                     fake_np[i], caption))
         avg = {k: float(v) / max(n_samples, 1)
                for k, v in (sums or {}).items()}
         if triplets:

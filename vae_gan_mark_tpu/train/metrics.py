@@ -56,13 +56,17 @@ class MetricsLogger:
         except ImportError:
             return
         wandb_images = []
+        captions = []
         for i, (ru, en, fake, caption) in enumerate(triplets[:max_images]):
             row = np.concatenate([ru, en, fake], axis=0)
             img = Image.fromarray(
                 np.clip(row * 255.0, 0, 255).astype(np.uint8))
             img.save(os.path.join(out_dir, f"{i:02d}.png"))
+            captions.append(f"{i:02d}.png\t{caption}")
             if self._wandb is not None:
                 wandb_images.append(self._wandb.Image(img, caption=caption))
+        with open(os.path.join(out_dir, "captions.txt"), "w") as f:
+            f.write("\n".join(captions) + "\n")
         if self._wandb is not None and wandb_images:
             self._wandb.log({"validation/examples": wandb_images}, step=step)
 
