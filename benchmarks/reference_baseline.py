@@ -42,17 +42,17 @@ def dconv(cin, cout):
 
 
 class Encoder(nn.Module):
-    def __init__(self, z=128):
+    def __init__(self, z=128, chans=(64, 128, 256, 512), bottleneck=1024,
+                 latent_hw=(4, 28)):
         super().__init__()
-        chans = [64, 128, 256, 512]
         self.blocks = nn.ModuleList()
         cin = 4
         for c in chans:
             self.blocks.append(dconv(cin, c))
             cin = c
-        self.bottom = dconv(512, 1024)
-        self.mu = nn.Conv2d(1024, z, (4, 28))
-        self.logvar = nn.Conv2d(1024, z, (4, 28))
+        self.bottom = dconv(chans[-1], bottleneck)
+        self.mu = nn.Conv2d(bottleneck, z, latent_hw)
+        self.logvar = nn.Conv2d(bottleneck, z, latent_hw)
 
     def forward(self, x):
         skips = []
@@ -65,16 +65,17 @@ class Encoder(nn.Module):
 
 
 class TextEnc(nn.Module):
-    def __init__(self, vocab=96, emb=128, hid=256):
+    def __init__(self, vocab=96, emb=128, hid=256, dropout=0.1, width=28):
         super().__init__()
         self.emb = nn.Embedding(vocab, emb, padding_idx=0)
         self.gru = nn.GRU(emb, hid, num_layers=2, batch_first=True,
-                          bidirectional=True, dropout=0.1)
+                          bidirectional=True, dropout=dropout)
+        self.width = width
 
     def forward(self, tokens):
         y, _ = self.gru(self.emb(tokens))
-        y = F.adaptive_avg_pool1d(y.permute(0, 2, 1), 28)
-        return y.unsqueeze(2)  # (B, 512, 1, 28)
+        y = F.adaptive_avg_pool1d(y.permute(0, 2, 1), self.width)
+        return y.unsqueeze(2)  # (B, 2*hid, 1, width)
 
 
 class Film(nn.Module):
@@ -94,20 +95,23 @@ class Film(nn.Module):
 
 
 class Decoder(nn.Module):
-    def __init__(self, z=128, tc=512):
+    def __init__(self, z=128, tc=512, chans=(64, 128, 256, 512),
+                 bottleneck=1024, latent_hw=(4, 28)):
         super().__init__()
+        self.latent_hw = latent_hw
         self.bottom = nn.Sequential(
-            nn.ConvTranspose2d(z + tc, 1024, (4, 1)),
-            nn.BatchNorm2d(1024), nn.ReLU(True))
-        specs = [(1024, 512), (512, 256), (256, 128), (128, 64)]
+            nn.ConvTranspose2d(z + tc, bottleneck, (latent_hw[0], 1)),
+            nn.BatchNorm2d(bottleneck), nn.ReLU(True))
+        specs = list(zip((bottleneck,) + tuple(reversed(chans))[:-1],
+                         reversed(chans)))
         self.ups = nn.ModuleList(
             nn.ConvTranspose2d(a, b, 2, 2) for a, b in specs)
         self.films = nn.ModuleList(Film(tc, 2 * b) for _, b in specs)
         self.convs = nn.ModuleList(dconv(2 * b, b) for _, b in specs)
-        self.out = nn.Conv2d(64, 3, 1)
+        self.out = nn.Conv2d(chans[0], 3, 1)
 
     def forward(self, z, t, skips):
-        x = torch.cat([z.expand(-1, -1, 1, 28), t], 1)
+        x = torch.cat([z.expand(-1, -1, 1, self.latent_hw[1]), t], 1)
         x = self.bottom(x)
         for up, film, conv, skip in zip(self.ups, self.films, self.convs,
                                         reversed(skips)):
@@ -118,15 +122,35 @@ class Decoder(nn.Module):
 
 
 class Gen(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.enc = Encoder()
-        self.text = TextEnc()
-        self.dec = Decoder()
+    """From-spec torch v2; defaults are the reference's full size. Pass a
+    VariantConfig-like ``cfg`` to build a scaled-down but op-identical
+    version (used by benchmarks/train_parity.py on 1-core hosts where a
+    full-size torch step costs minutes)."""
 
-    def forward(self, img, mask, tokens):
+    def __init__(self, dropout=0.1, cfg=None):
+        super().__init__()
+        if cfg is None:
+            self.enc = Encoder()
+            self.text = TextEnc(dropout=dropout)
+            self.dec = Decoder()
+        else:
+            latent_hw = (cfg.latent_h, cfg.latent_w)
+            self.enc = Encoder(z=cfg.z_ch, chans=cfg.enc_chans,
+                               bottleneck=cfg.bottleneck_ch,
+                               latent_hw=latent_hw)
+            self.text = TextEnc(vocab=cfg.vocab_size, emb=cfg.char_emb_dim,
+                                hid=cfg.char_rnn_hidden, dropout=dropout,
+                                width=cfg.text_feature_width)
+            self.dec = Decoder(z=cfg.z_ch, tc=2 * cfg.char_rnn_hidden,
+                               chans=cfg.enc_chans,
+                               bottleneck=cfg.bottleneck_ch,
+                               latent_hw=latent_hw)
+
+    def forward(self, img, mask, tokens, eps=None):
         mu, logvar, skips = self.enc(torch.cat([img, mask], 1))
-        z = mu + torch.randn_like(mu) * torch.exp(0.5 * logvar)
+        if eps is None:
+            eps = torch.randn_like(mu)
+        z = mu + eps * torch.exp(0.5 * logvar)
         return self.dec(z, self.text(tokens), skips), mu, logvar
 
 
@@ -169,6 +193,51 @@ class VGGHead(nn.Module):
         mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
         std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
         return self.net((x - mean) / std)
+
+
+# from-spec attribute names -> the reference's checkpoint key scheme
+# (vae-gan-v2.py:283-327), so Gen's state dict can flow through
+# utils/port_torch.port_v2_generator exactly like a real checkpoint.
+REFERENCE_RENAME = [
+    ("enc.blocks.0.", "style_vae_encoder_module.e_conv1."),
+    ("enc.blocks.1.", "style_vae_encoder_module.e_conv2."),
+    ("enc.blocks.2.", "style_vae_encoder_module.e_conv3."),
+    ("enc.blocks.3.", "style_vae_encoder_module.e_conv4."),
+    ("enc.bottom.", "style_vae_encoder_module.bottleneck_conv."),
+    ("enc.mu.", "style_vae_encoder_module.mu_head."),
+    ("enc.logvar.", "style_vae_encoder_module.logvar_head."),
+    ("text.emb.", "char_text_encoder_module.embedding."),
+    ("text.gru.", "char_text_encoder_module.rnn."),
+    ("dec.bottom.", "image_vae_decoder_module.bottleneck_proc."),
+    ("dec.ups.0.", "image_vae_decoder_module.up_tconv1."),
+    ("dec.ups.1.", "image_vae_decoder_module.up_tconv2."),
+    ("dec.ups.2.", "image_vae_decoder_module.up_tconv3."),
+    ("dec.ups.3.", "image_vae_decoder_module.up_tconv4."),
+    ("dec.films.0.net.",
+     "image_vae_decoder_module.spatial_film1.param_predictor."),
+    ("dec.films.1.net.",
+     "image_vae_decoder_module.spatial_film2.param_predictor."),
+    ("dec.films.2.net.",
+     "image_vae_decoder_module.spatial_film3.param_predictor."),
+    ("dec.films.3.net.",
+     "image_vae_decoder_module.spatial_film4.param_predictor."),
+    ("dec.convs.0.", "image_vae_decoder_module.conv_block1."),
+    ("dec.convs.1.", "image_vae_decoder_module.conv_block2."),
+    ("dec.convs.2.", "image_vae_decoder_module.conv_block3."),
+    ("dec.convs.3.", "image_vae_decoder_module.conv_block4."),
+    ("dec.out.", "image_vae_decoder_module.final_image_conv."),
+]
+
+
+def renamed_state_dict(gen):
+    sd = {}
+    for key, val in gen.state_dict().items():
+        for src, dst in REFERENCE_RENAME:
+            if key.startswith(src):
+                key = dst + key[len(src):]
+                break
+        sd[key] = val
+    return sd
 
 
 def main():
@@ -217,6 +286,7 @@ def main():
         "batch_size": b,
         "device": "cpu",
         "threads": torch.get_num_threads(),
+        "host_cpu_count": os.cpu_count(),
         "variant": "v2 (448x64, from-spec torch reimplementation)",
     }
     path = os.path.join(os.path.dirname(__file__),

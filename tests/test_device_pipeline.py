@@ -74,14 +74,15 @@ def test_train_step_with_device_loader(tmp_path):
     samples = build_index(dirs["json"], dirs["ru"], dirs["en"], dirs["mask"])
     loader = DeviceWarpLoader(cfg, samples, list(range(len(samples))),
                               batch_size=4, shuffle=False, num_workers=2)
+    from vae_gan_mark_tpu.data.synthetic import device_batch
     it = iter(loader(0))
-    batch0 = next(it)
+    batch0 = device_batch(next(it))
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
     vgg = load_vgg_params()
     step = jit_train_step(cfg)
     state, m = step(state, vgg, batch0, jax.random.PRNGKey(1),
                     jnp.float32(1e-4))
-    batch1 = next(it)
+    batch1 = device_batch(next(it))
     state, m = step(state, vgg, batch1, jax.random.PRNGKey(1),
                     jnp.float32(1e-4))
     assert np.isfinite(float(m["loss_G"]))

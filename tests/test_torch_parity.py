@@ -24,7 +24,7 @@ import jax.numpy as jnp
 torch = pytest.importorskip("torch")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from benchmarks.reference_baseline import Gen  # noqa: E402
+from benchmarks.reference_baseline import Gen, renamed_state_dict  # noqa: E402
 
 from vae_gan_mark_tpu.config import get_config  # noqa: E402
 from vae_gan_mark_tpu.models.decoders import UNetStyleDecoder  # noqa: E402
@@ -34,45 +34,12 @@ from vae_gan_mark_tpu.utils.port_torch import port_v2_generator  # noqa: E402
 
 pytestmark = pytest.mark.slow  # torch goldens + full-model parity
 
-RENAME = [
-    # (from-spec torch prefix, reference-scheme prefix)
-    ("enc.blocks.0.", "style_vae_encoder_module.e_conv1."),
-    ("enc.blocks.1.", "style_vae_encoder_module.e_conv2."),
-    ("enc.blocks.2.", "style_vae_encoder_module.e_conv3."),
-    ("enc.blocks.3.", "style_vae_encoder_module.e_conv4."),
-    ("enc.bottom.", "style_vae_encoder_module.bottleneck_conv."),
-    ("enc.mu.", "style_vae_encoder_module.mu_head."),
-    ("enc.logvar.", "style_vae_encoder_module.logvar_head."),
-    ("text.emb.", "char_text_encoder_module.embedding."),
-    ("text.gru.", "char_text_encoder_module.rnn."),
-    ("dec.bottom.", "image_vae_decoder_module.bottleneck_proc."),
-    ("dec.ups.0.", "image_vae_decoder_module.up_tconv1."),
-    ("dec.ups.1.", "image_vae_decoder_module.up_tconv2."),
-    ("dec.ups.2.", "image_vae_decoder_module.up_tconv3."),
-    ("dec.ups.3.", "image_vae_decoder_module.up_tconv4."),
-    ("dec.films.0.net.", "image_vae_decoder_module.spatial_film1.param_predictor."),
-    ("dec.films.1.net.", "image_vae_decoder_module.spatial_film2.param_predictor."),
-    ("dec.films.2.net.", "image_vae_decoder_module.spatial_film3.param_predictor."),
-    ("dec.films.3.net.", "image_vae_decoder_module.spatial_film4.param_predictor."),
-    ("dec.convs.0.", "image_vae_decoder_module.conv_block1."),
-    ("dec.convs.1.", "image_vae_decoder_module.conv_block2."),
-    ("dec.convs.2.", "image_vae_decoder_module.conv_block3."),
-    ("dec.convs.3.", "image_vae_decoder_module.conv_block4."),
-    ("dec.out.", "image_vae_decoder_module.final_image_conv."),
-]
-
 
 @pytest.fixture(scope="module")
 def ported():
     torch.manual_seed(0)
     tmodel = Gen().eval()
-    sd = {}
-    for key, val in tmodel.state_dict().items():
-        for src, dst in RENAME:
-            if key.startswith(src):
-                key = dst + key[len(src):]
-                break
-        sd[key] = val
+    sd = renamed_state_dict(tmodel)
     cfg = get_config("v2", compute_dtype="float32")
     params, batch_stats = port_v2_generator(sd, cfg)
     return tmodel, cfg, params, batch_stats

@@ -60,12 +60,12 @@ def main():
     import torch
     sys.path.insert(0, ".")
     from vae_gan_mark_tpu.config import get_config
-    from vae_gan_mark_tpu.utils.port_torch import port_v2_generator
+    from vae_gan_mark_tpu.utils.port_torch import port_generator
 
     ckpt = torch.load(args.checkpoint, map_location="cpu")
     sd = ckpt.get("model_state_dict", ckpt)
     cfg = get_config(args.variant)
-    params, batch_stats = port_v2_generator(sd, cfg)
+    params, batch_stats = port_generator(sd, cfg)
     arrays = {}
     arrays.update({f"params/{k}": v for k, v in flatten(params).items()})
     arrays.update({f"batch_stats/{k}": v

@@ -4,7 +4,7 @@ Run on any machine that has torchvision + the checkpoint cached:
 
     python tools/port_vgg16.py [--out tools/vgg16_features.npz]
 
-Extracts the 8 conv layers of ``features[:16]`` (conv1_1 .. conv3_3), writes
+Extracts the 7 conv layers of ``features[:16]`` (conv1_1 .. conv3_3), writes
 kernels transposed to HWIO (NHWC conv layout) plus biases. The framework's
 perceptual loss (vae_gan_mark_tpu/models/vgg.py) picks the file up
 automatically; without it a fixed-seed random init is used.
@@ -33,7 +33,7 @@ def main():
             arrays[f"conv{conv_idx}_kernel"] = np.transpose(w, (2, 3, 1, 0))
             arrays[f"conv{conv_idx}_bias"] = layer.bias.detach().numpy()
             conv_idx += 1
-    assert conv_idx == 8, conv_idx
+    assert conv_idx == 7, conv_idx  # 64,64 | 128,128 | 256,256,256
     np.savez(args.out, **arrays)
     print(f"wrote {conv_idx} conv layers to {args.out}")
 

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-samples", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--loader", choices=("host", "device"), default="host",
+                   help="real-data input path: 'host' warps with cv2/native "
+                        "on CPU workers; 'device' decodes+bucket-crops on "
+                        "host and runs the perspective warp inside a jitted "
+                        "TPU kernel (data/device_pipeline.py)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of epoch 2 here")
     p.add_argument("--no-mesh", action="store_true",
@@ -107,7 +112,12 @@ def main(argv=None):
             raise SystemExit("--json-dir/--ru-dir/--en-dir/--mask-dir are "
                              "required without --synthetic")
         from vae_gan_mark_tpu.data.index import build_index, grouped_split
-        from vae_gan_mark_tpu.data.pipeline import HostWarpLoader
+        if args.loader == "device":
+            from vae_gan_mark_tpu.data.device_pipeline import (
+                DeviceWarpLoader as Loader)
+        else:
+            from vae_gan_mark_tpu.data.pipeline import (
+                HostWarpLoader as Loader)
         samples = build_index(args.json_dir, args.ru_dir, args.en_dir,
                               args.mask_dir)
         print(f"indexed {len(samples)} samples")
@@ -118,14 +128,14 @@ def main(argv=None):
         if cfg.text_encoder == "sbert":
             from vae_gan_mark_tpu.data.text_embed import make_text_embedder
             text_embed_fn = make_text_embedder()
-        train_data = HostWarpLoader(cfg, samples, train_idx, shuffle=True,
-                                    drop_last=True, seed=args.seed,
-                                    num_workers=args.num_workers,
-                                    text_embed_fn=text_embed_fn)
-        val_data = HostWarpLoader(cfg, samples, val_idx, shuffle=False,
-                                  drop_last=False, seed=args.seed,
-                                  num_workers=args.num_workers,
-                                  text_embed_fn=text_embed_fn) \
+        train_data = Loader(cfg, samples, train_idx, shuffle=True,
+                            drop_last=True, seed=args.seed,
+                            num_workers=args.num_workers,
+                            text_embed_fn=text_embed_fn)
+        val_data = Loader(cfg, samples, val_idx, shuffle=False,
+                          drop_last=False, seed=args.seed,
+                          num_workers=args.num_workers,
+                          text_embed_fn=text_embed_fn) \
             if val_idx else None
 
     trainer = Trainer(cfg, train_data, val_data, workdir=args.workdir,

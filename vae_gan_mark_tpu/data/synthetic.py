@@ -1,9 +1,20 @@
 """Synthetic dataset for tests and benchmarks.
 
-Generates (ru, en, mask, text) batches with a *learnable* ru->en mapping so
-integration tests can assert loss decrease: the "en" patch is a deterministic
-color transform of the "ru" patch inside the mask region. Texts are random
-strings over the config's alphabet.
+Generates (ru, en, mask, text) batches with a *learnable and
+text-dependent* ru->en mapping, mirroring the reference task semantics
+(/root/reference/vae-gan.py:267-288: the EN patch is the masked region
+re-rendered with the target text). Concretely the "en" patch is:
+
+  * outside the mask: the "ru" patch unchanged;
+  * inside the mask: a deterministic color transform of "ru" (style
+    carry-over) with the target text rasterized on top in white via a PIL
+    bitmap font.
+
+Because the glyphs depend on the text string, a model can only reach low
+masked reconstruction error by actually *using* the text conditioning —
+this makes text conditioning falsifiable (tests/test_text_conditioning.py
+asserts both causality and trained-model dependence). Set
+``text_dependent=False`` for the legacy channel-rotation-only task.
 """
 
 from __future__ import annotations
@@ -26,9 +37,29 @@ def device_batch(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "raw_text"}
 
 
+def render_text_raster(text: str, mh: int, mw: int) -> np.ndarray:
+    """Rasterize ``text`` into a (mh, mw) float32 alpha map in [0, 1].
+
+    Deterministic PIL bitmap-font rendering sized to the region height —
+    the synthetic stand-in for the reference's "EN creative re-rendered
+    with the target text" ground truth (vae-gan.py:267-288).
+    """
+    from PIL import Image, ImageDraw, ImageFont
+    size = max(6, int(mh * 0.6))
+    try:
+        font = ImageFont.load_default(size=size)
+    except TypeError:  # older Pillow: fixed-size raster font
+        font = ImageFont.load_default()
+    img = Image.new("L", (mw, mh), 0)
+    ImageDraw.Draw(img).text((2, max(0, (mh - size) // 2 - 1)), text,
+                             font=font, fill=255)
+    return np.asarray(img, np.float32) / 255.0
+
+
 class SyntheticPatchDataset:
     def __init__(self, cfg: VariantConfig, num_samples: int = 256,
-                 seed: int = 0):
+                 seed: int = 0, text_dependent: bool = True,
+                 texts: list = None):
         self.cfg = cfg
         self.num_samples = num_samples
         self.rng = np.random.default_rng(seed)
@@ -37,20 +68,35 @@ class SyntheticPatchDataset:
             0, 1, (num_samples, h, w, 3)).astype(np.float32)
         # Rectangular "text region" masks.
         self.mask = np.zeros((num_samples, h, w, 1), np.float32)
+        boxes = []
         for i in range(num_samples):
-            y0 = self.rng.integers(0, h // 2)
-            x0 = self.rng.integers(0, w // 2)
+            y0 = int(self.rng.integers(0, h // 2))
+            x0 = int(self.rng.integers(0, w // 2))
             self.mask[i, y0:y0 + h // 2, x0:x0 + w // 2] = 1.0
-        # en = ru with channels rotated inside the mask — deterministic,
-        # learnable.
-        self.en = np.where(self.mask > 0, self.ru[..., [1, 2, 0]], self.ru)
+            boxes.append((y0, x0))
         alphabet = cfg.alphabet
-        printable = [c for c in alphabet if c in string.printable] or list(
-            alphabet)
-        self.texts = [
-            "".join(self.rng.choice(printable,
-                                    size=self.rng.integers(3, 20)))
-            for _ in range(num_samples)]
+        printable = [c for c in alphabet if c in string.printable
+                     and c != " "] or list(alphabet)
+        if texts is not None:
+            assert len(texts) == num_samples
+            self.texts = list(texts)
+        else:
+            self.texts = [
+                "".join(self.rng.choice(printable,
+                                        size=self.rng.integers(3, 20)))
+                for _ in range(num_samples)]
+        # en = ru with channels rotated inside the mask (style carry-over),
+        # plus — when text_dependent — the target text rendered in white
+        # inside the mask so the GT actually depends on the conditioning.
+        self.en = np.where(self.mask > 0, self.ru[..., [1, 2, 0]], self.ru)
+        if text_dependent:
+            mh, mw = h // 2, w // 2
+            for i, (y0, x0) in enumerate(boxes):
+                g = render_text_raster(self.texts[i], mh, mw)[..., None]
+                region = self.en[i, y0:y0 + mh, x0:x0 + mw]
+                self.en[i, y0:y0 + mh, x0:x0 + mw] = (
+                    region * (1.0 - g) + g)
+        alphabet = cfg.alphabet
         self.tokenizer = CharTokenizer(alphabet, cfg.max_text_len)
 
     def text_batch(self, idx: np.ndarray) -> np.ndarray:

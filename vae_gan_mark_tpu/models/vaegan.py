@@ -33,7 +33,11 @@ class VAEGANGenerator(nn.Module):
         return jnp.dtype(self.cfg.compute_dtype)
 
     @nn.compact
-    def __call__(self, image, mask, text):
+    def __call__(self, image, mask, text, eps=None):
+        """``eps``: optional externally supplied reparameterization noise
+        (same shape as mu, float32). Used for deterministic inference and
+        cross-framework trajectory-parity runs; when None (production), the
+        noise is drawn from the ``sample`` RNG stream."""
         cfg = self.cfg
         dtype = self.dtype
         x = jnp.concatenate([image, mask], axis=-1).astype(dtype)
@@ -62,7 +66,10 @@ class VAEGANGenerator(nn.Module):
         logvar32 = logvar.astype(jnp.float32)
         # The reference samples in val/inference too (model.eval() does not
         # bypass reparameterize), so sampling is unconditional here.
-        z = reparameterize(self.make_rng("sample"), mu32, logvar32)
+        if eps is None:
+            z = reparameterize(self.make_rng("sample"), mu32, logvar32)
+        else:
+            z = mu32 + eps.astype(jnp.float32) * jnp.exp(0.5 * logvar32)
         z = z.astype(dtype)
 
         if cfg.text_encoder == "sbert":

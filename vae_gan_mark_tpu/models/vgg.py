@@ -80,12 +80,11 @@ def load_vgg_params(path: str = DEFAULT_WEIGHTS_PATH,
     params = variables["params"]
     if os.path.exists(path):
         data = np.load(path)
-        params = jax.tree.map(lambda p: p, params)
         new = {}
-        for i in range(8):
-            new[f"conv{i}"] = {
-                "kernel": jnp.asarray(data[f"conv{i}_kernel"]),
-                "bias": jnp.asarray(data[f"conv{i}_bias"]),
+        for name in params:  # conv0..conv6 (7 convs in features[:16])
+            new[name] = {
+                "kernel": jnp.asarray(data[f"{name}_kernel"]),
+                "bias": jnp.asarray(data[f"{name}_bias"]),
             }
         params = new
     return params

@@ -47,6 +47,41 @@ from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
 DataSource = Callable[[int], Iterator[dict]]
 
 
+def prefetch_to_device(iterator: Iterator[dict], put, size: int = 2):
+    """Double-buffered host->device prefetch.
+
+    A daemon thread pulls host batches and issues their device transfers
+    while the main thread's current step is still executing, so step N's
+    compute overlaps batch N+1's load+transfer (JAX dispatch is async; the
+    transfer happens on the stream without blocking compute). ``None``
+    batches (safe-collate semantics) are dropped here.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                if item is None:
+                    continue
+                q.put(put(item))
+            q.put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class Trainer:
     def __init__(self, cfg: VariantConfig, train_data: DataSource,
                  val_data: Optional[DataSource], workdir: str,
@@ -119,10 +154,9 @@ class Trainer:
         sums, count = None, 0
         t0 = time.time()
         images = 0
-        for batch in self.train_data(epoch):
-            if batch is None:  # safe-batch semantics (vae-gan.py:400)
-                continue
-            batch = self._put(batch)
+        # None batches (safe-batch semantics, vae-gan.py:400) are dropped by
+        # the prefetcher; device transfer of batch N+1 overlaps step N.
+        for batch in prefetch_to_device(self.train_data(epoch), self._put):
             self.state, metrics = self.train_step(
                 self.state, self.vgg_params, batch, self.rng, kl_w)
             images += batch["ru"].shape[0]

@@ -66,6 +66,7 @@ def build_train_step(cfg: VariantConfig):
             (recon, mu, logvar), updated = g_model.apply(
                 {"params": g_params, "batch_stats": state.g_batch_stats},
                 batch["ru"], batch["mask"], batch["text"],
+                eps=batch.get("eps"),  # None in production batches
                 rngs={"sample": rng_sample, "dropout": rng_dropout},
                 mutable=["batch_stats"])
             return (recon, mu, logvar), updated["batch_stats"]

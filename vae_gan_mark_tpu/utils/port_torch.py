@@ -1,12 +1,24 @@
-"""Convert a reference PyTorch checkpoint (v2/unet naming) into this
-framework's parameter trees.
+"""Convert a reference PyTorch checkpoint (any of the five variants' key
+schemes) into this framework's parameter trees.
 
-The reference saves ``model_state_dict`` for ``VAEGAN_UNet_SpatialFiLM``
-(vae-gan-v2.py:283-327) with submodules ``style_vae_encoder_module`` /
-``char_text_encoder_module`` / ``image_vae_decoder_module``. This module maps
-that state dict onto ``VAEGANGenerator(cfg)``'s ``params``/``batch_stats``
-trees, so pretrained reference checkpoints (e.g. the HF snapshot
-``set_model.py`` downloads) can be served or fine-tuned here.
+Key schemes in the reference:
+  * v2/unet (vae-gan-v2.py:283-327): submodules
+    ``style_vae_encoder_module`` / ``char_text_encoder_module`` /
+    ``image_vae_decoder_module`` -> ``port_v2_generator``;
+  * oldv (vae-gan-oldv.py:323-368): same submodule names plus
+    ``conv1d`` + ``pos_enc`` in the text encoder and
+    ``skip_gates.{i}.alpha`` in the decoder — handled by
+    ``port_v2_generator`` automatically (keys detected by presence);
+  * vanilla/lr_sh (vae-gan.py:47-146): ``encoder.feat`` / ``decoder.decode``
+    nn.Sequential indices plus the SBERT projection ``text_encoder.fc``
+    -> ``port_vanilla_generator`` (the frozen MiniLM weights under
+    ``text_encoder.model.*`` are not ported — only the Linear trains,
+    vae-gan.py:110-115; embeddings are precomputed in our input pipeline).
+
+``port_generator(sd, cfg)`` dispatches on ``cfg.generator``. The output maps
+onto ``VAEGANGenerator(cfg)``'s ``params``/``batch_stats`` trees, so
+pretrained reference checkpoints (e.g. the HF snapshot ``set_model.py``
+downloads) can be served or fine-tuned here.
 
 Weight-layout conventions (each verified by golden tests):
   * Conv2d  (out, in, kh, kw)  -> HWIO: transpose(2, 3, 1, 0)
@@ -109,6 +121,14 @@ def port_v2_generator(sd: Dict, cfg) -> Tuple[Dict, Dict]:
         "Embed_0": {"embedding": _t(sd[f"{txt}.embedding.weight"])},
         "BiGRU_0": _gru(sd, f"{txt}.rnn", cfg.char_rnn_layers),
     }}
+    if f"{txt}.conv1d.weight" in sd:
+        # oldv extras (vae-gan-oldv.py:105-115): Conv1d (out, in, k) ->
+        # flax (k, in, out); pos_enc (1, C, H, W) -> (1, H, W, C).
+        text_p["Conv_0"] = {
+            "kernel": np.transpose(_t(sd[f"{txt}.conv1d.weight"]), (2, 1, 0)),
+            "bias": _t(sd[f"{txt}.conv1d.bias"])}
+        text_p["pos_enc"] = np.transpose(
+            _t(sd[f"{txt}.pos_enc"]), (0, 2, 3, 1))
 
     dec = "image_vae_decoder_module"
     dec_p, dec_s = {}, {}
@@ -128,6 +148,12 @@ def port_v2_generator(sd: Dict, cfg) -> Tuple[Dict, Dict]:
         dec_p[f"TConv_{i}"] = {"ConvTranspose_0": {
             "kernel": tconv_kernel(sd[f"{dec}.up_tconv{n}.weight"]),
             "bias": _t(sd[f"{dec}.up_tconv{n}.bias"])}}
+        if f"{dec}.skip_gates.{i}.alpha" in sd:
+            # oldv gated skips (vae-gan-oldv.py:226-246): skip_gates[0] is
+            # the deepest — same order as our gate{i}. torch alpha is
+            # (1, C, 1, 1); ours is (C,).
+            dec_p[f"gate{i}"] = {
+                "alpha": _t(sd[f"{dec}.skip_gates.{i}.alpha"]).reshape(-1)}
         film_prefix = f"{dec}.spatial_film{n}.param_predictor"
         if f"{film_prefix}.0.weight" in sd:
             dec_p[f"film{i}"] = {
@@ -151,3 +177,109 @@ def port_v2_generator(sd: Dict, cfg) -> Tuple[Dict, Dict]:
     params = {"encoder": enc_p, "text_encoder": text_p, "decoder": dec_p}
     batch_stats = {"encoder": enc_s, "decoder": dec_s}
     return params, batch_stats
+
+
+def port_vanilla_generator(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+    """Reference ``model_state_dict`` (vanilla/lr_sh naming,
+    vae-gan.py:47-146) -> (params, batch_stats).
+
+    ``encoder.feat`` is an nn.Sequential of [Conv, BN, ReLU] x 4
+    (indices 0,1 / 3,4 / 6,7 / 9,10); ``decoder.decode`` is
+    [ConvTranspose, BN, ReLU] x 5 + Conv + Sigmoid (tconv/bn at
+    0,1 / 3,4 / 6,7 / 9,10 / 12,13; final conv at 15). The SBERT MiniLM
+    under ``text_encoder.model.*`` is frozen in the reference and is not
+    ported; only ``text_encoder.fc`` (the trainable 384->TEXT_CH Linear) is.
+    """
+    enc_p, enc_s = {}, {}
+    for i, (ci, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        p, s = _conv_bn_block(sd, "encoder.feat", ci, bi)
+        enc_p[f"ConvBNRelu_{i}"] = p
+        enc_s[f"ConvBNRelu_{i}"] = s
+    enc_p["_LatentHeads_0"] = {
+        "mu_head": {"kernel": conv_kernel(sd["encoder.mu_head.weight"]),
+                    "bias": _t(sd["encoder.mu_head.bias"])},
+        "logvar_head": {
+            "kernel": conv_kernel(sd["encoder.logvar_head.weight"]),
+            "bias": _t(sd["encoder.logvar_head.bias"])},
+    }
+
+    text_p = {"Dense_0": {"kernel": _t(sd["text_encoder.fc.weight"]).T,
+                          "bias": _t(sd["text_encoder.fc.bias"])}}
+
+    dec_p, dec_s = {}, {}
+    for i, (ti, bi) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10), (12, 13)]):
+        dec_p[f"TConvBNRelu_{i}"] = {
+            "TConv_0": {"ConvTranspose_0": {
+                "kernel": tconv_kernel(sd[f"decoder.decode.{ti}.weight"]),
+                "bias": _t(sd[f"decoder.decode.{ti}.bias"])}},
+            "BatchNorm_0": {
+                "scale": _t(sd[f"decoder.decode.{bi}.weight"]),
+                "bias": _t(sd[f"decoder.decode.{bi}.bias"])},
+        }
+        dec_s[f"TConvBNRelu_{i}"] = {"BatchNorm_0": {
+            "mean": _t(sd[f"decoder.decode.{bi}.running_mean"]),
+            "var": _t(sd[f"decoder.decode.{bi}.running_var"])}}
+    dec_p["Conv_0"] = {
+        "kernel": conv_kernel(sd["decoder.decode.15.weight"]),
+        "bias": _t(sd["decoder.decode.15.bias"])}
+
+    params = {"encoder": enc_p, "text_encoder": text_p, "decoder": dec_p}
+    batch_stats = {"encoder": enc_s, "decoder": dec_s}
+    return params, batch_stats
+
+
+def port_generator(sd: Dict, cfg) -> Tuple[Dict, Dict]:
+    """Dispatch on the config's generator family: "plain" -> vanilla/lr_sh
+    scheme, everything else -> the v2/unet/oldv scheme."""
+    if cfg.generator == "plain":
+        return port_vanilla_generator(sd, cfg)
+    return port_v2_generator(sd, cfg)
+
+
+def port_discriminator(sd: Dict) -> Tuple[Dict, Dict]:
+    """Reference ``disc_state_dict`` -> (params, spectral) for
+    ``PatchDiscriminator``.
+
+    The reference discriminator (vae-gan.py:148-159, attribute ``body``) is
+    an nn.Sequential: spectral conv at 0, 2, 5, 8 (each storing
+    ``weight_orig`` + power-iteration ``weight_u``), InstanceNorm(affine) at
+    3, 6, 9, final plain conv at 11. Porting ``weight_u`` too makes the
+    power-iteration state identical, so subsequent steps on both frameworks
+    advance sigma through the same sequence.
+    """
+    prefix = "body" if any(k.startswith("body.") for k in sd) else "net"
+    params, spectral = {}, {}
+    for i, idx in enumerate((0, 2, 5, 8)):
+        params[f"SpectralConv_{i}"] = {
+            "kernel": conv_kernel(sd[f"{prefix}.{idx}.weight_orig"]),
+            "bias": _t(sd[f"{prefix}.{idx}.bias"]),
+        }
+        spectral[f"SpectralConv_{i}"] = {
+            "u": _t(sd[f"{prefix}.{idx}.weight_u"])}
+    for i, idx in enumerate((3, 6, 9)):
+        params[f"InstanceNorm_{i}"] = {
+            "scale": _t(sd[f"{prefix}.{idx}.weight"]),
+            "bias": _t(sd[f"{prefix}.{idx}.bias"])}
+    params["Conv_0"] = {
+        "kernel": conv_kernel(sd[f"{prefix}.11.weight"]),
+        "bias": _t(sd[f"{prefix}.11.bias"])}
+    return params, spectral
+
+
+def port_vgg_head(sd: Dict, prefix: str = "net") -> Dict:
+    """torch VGG16 ``features[:16]`` state dict -> ``load_vgg_params`` tree.
+
+    Conv layers sit at Sequential indices 0, 2, 5, 7, 10, 12, 14 (7 convs:
+    64,64 | 128,128 | 256,256,256 — vae-gan.py:300-311's torchvision cut).
+    Accepts either a bare ``features``-style dict ("0.weight", ...) or one
+    under ``prefix``.
+    """
+    key = (lambda i, leaf: f"{prefix}.{i}.{leaf}") \
+        if any(k.startswith(f"{prefix}.") for k in sd) \
+        else (lambda i, leaf: f"{i}.{leaf}")
+    params = {}
+    for ci, idx in enumerate((0, 2, 5, 7, 10, 12, 14)):
+        params[f"conv{ci}"] = {
+            "kernel": conv_kernel(sd[key(idx, "weight")]),
+            "bias": _t(sd[key(idx, "bias")])}
+    return params
