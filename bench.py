@@ -42,9 +42,10 @@ def main():
                             os.environ["BENCH_BATCH_SIZES"].split(","))
     else:
         # One compile per batch size and the axon remote compile takes
-        # minutes regardless of the persistent cache, so the default sweep
-        # is the single best-throughput size (measured: 420/456/576 img/s at
-        # 16/64/128). Override with BENCH_BATCH_SIZES=16,64,128.
+        # minutes regardless of the persistent cache, so the default is the
+        # single best-throughput size from the captured sweep (the full
+        # sweep result ships in the JSON's "sweep" field when
+        # BENCH_BATCH_SIZES lists several sizes).
         batch_sizes = (128,) if platform != "cpu" else (16,)
     steps = 20 if platform != "cpu" else 3
 
@@ -54,7 +55,14 @@ def main():
     if os.environ.get("BENCH_MODE") == "infer":
         return bench_inference(cfg, variant, platform, batch_sizes)
 
-    best_ips, best_bs = 0.0, 0
+    # bf16 MXU peak per chip for MFU context (v5e ("v5 lite"): 197 TFLOP/s;
+    # v4: 275; unknown platforms report flops without MFU).
+    dev_kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peak_tflops = (197.0 if "v5 lit" in dev_kind or "v5e" in dev_kind
+                   else 275.0 if "v4" in dev_kind else None)
+
+    best_ips, best_bs, best_mfu, best_tflops = 0.0, 0, None, None
+    sweep = []
     for bs in batch_sizes:
         ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
         batch = device_batch(ds.batch(bs, 0))
@@ -63,6 +71,17 @@ def main():
         step = jit_train_step(cfg)
         rng = jax.random.PRNGKey(1)
         kl = jnp.float32(1e-3)
+
+        step_flops = None
+        try:
+            # .lower().compile() populates the same executable cache the
+            # calls below hit — no extra compile.
+            cost = step.lower(state, vgg, batch, rng, kl).compile(
+                ).cost_analysis()
+            if cost and "flops" in cost:
+                step_flops = float(cost["flops"])
+        except Exception as e:  # cost analysis is best-effort
+            log(f"[bench] cost_analysis unavailable: {e}")
 
         t_compile = time.time()
         state, m = step(state, vgg, batch, rng, kl)
@@ -84,10 +103,22 @@ def main():
         dt = time.time() - t0
         assert final_loss == final_loss, "NaN loss in benchmark"
         ips = steps * bs / dt
+        tflops = mfu = None
+        if step_flops:
+            tflops = step_flops / (dt / steps) / 1e12
+            if peak_tflops:
+                mfu = tflops / peak_tflops
         log(f"[bench] bs={bs}: {ips:.1f} images/sec "
-            f"({dt / steps * 1000:.1f} ms/step)")
+            f"({dt / steps * 1000:.1f} ms/step"
+            + (f", {tflops:.1f} TFLOP/s" if tflops else "")
+            + (f", MFU {mfu:.2f}" if mfu else "") + ")")
+        sweep.append({"batch": bs, "images_per_sec": round(ips, 2),
+                      "ms_per_step": round(dt / steps * 1000, 2),
+                      "tflops_per_sec": round(tflops, 2) if tflops else None,
+                      "mfu": round(mfu, 3) if mfu else None})
         if ips > best_ips:
             best_ips, best_bs = ips, bs
+            best_mfu, best_tflops = mfu, tflops
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "baseline_torch_cpu.json")
@@ -108,6 +139,9 @@ def main():
         "value": round(best_ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2),
+        "tflops_per_sec": round(best_tflops, 2) if best_tflops else None,
+        "mfu": round(best_mfu, 3) if best_mfu else None,
+        "sweep": sweep,
     }))
 
 

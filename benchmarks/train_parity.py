@@ -42,7 +42,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def torch_side(cfg, steps, batches, eps_list, kl_w=1e-3, gan_w=0.15,
-               perc_w=0.1):
+               perc_w=0.1, perturb=0.0):
+    """``perturb``: relative perturbation applied to one generator weight
+    after init — used by the --control mode to measure the *chaotic
+    self-divergence* of the training dynamics (GAN steps amplify 1-ulp
+    differences), the yardstick against which torch-vs-JAX deviation is
+    judged."""
     import torch
     import torch.nn.functional as F
     from torch.nn.utils import clip_grad_norm_
@@ -55,6 +60,20 @@ def torch_side(cfg, steps, batches, eps_list, kl_w=1e-3, gan_w=0.15,
     disc, vgg = Disc(), VGGHead()
     opt_g = torch.optim.Adam(gen.parameters(), 1e-4, betas=(0.5, 0.999))
     opt_d = torch.optim.Adam(disc.parameters(), 1e-4, betas=(0.5, 0.999))
+    # Snapshot the INITIAL weights — training below mutates the modules in
+    # place, and the JAX side must start from the same init, not the
+    # torch-trained result.
+    from benchmarks.reference_baseline import renamed_state_dict
+    init = {
+        "gen_sd": {k: v.clone() for k, v in
+                   renamed_state_dict(gen).items()},
+        "disc_sd": {k: v.clone() for k, v in disc.state_dict().items()},
+        "vgg_sd": {k: v.clone() for k, v in vgg.state_dict().items()},
+    }
+    if perturb:
+        with torch.no_grad():
+            p = next(gen.enc.parameters())
+            p.mul_(1.0 + perturb)
 
     history = []
     for i in range(steps):
@@ -84,21 +103,20 @@ def torch_side(cfg, steps, batches, eps_list, kl_w=1e-3, gan_w=0.15,
         history.append({"loss_G": float(loss_g), "loss_D": float(loss_d),
                         "recon": float(recon), "kl": float(kl),
                         "gan_g": float(gan), "perc": float(perc)})
-    return gen, disc, vgg, history
+    return init, history
 
 
-def jax_side(gen, disc, vgg_t, cfg, steps, batches, eps_list, kl_w=1e-3):
+def jax_side(init, cfg, steps, batches, eps_list, kl_w=1e-3):
     import jax
     import jax.numpy as jnp
-    from benchmarks.reference_baseline import renamed_state_dict
     from vae_gan_mark_tpu.train.state import create_train_state
     from vae_gan_mark_tpu.train.step import jit_train_step
     from vae_gan_mark_tpu.utils.port_torch import (
         port_discriminator, port_v2_generator, port_vgg_head)
 
-    g_params, g_stats = port_v2_generator(renamed_state_dict(gen), cfg)
-    d_params, d_spectral = port_discriminator(disc.state_dict())
-    vgg_params = port_vgg_head(vgg_t.state_dict())
+    g_params, g_stats = port_v2_generator(init["gen_sd"], cfg)
+    d_params, d_spectral = port_discriminator(init["disc_sd"])
+    vgg_params = port_vgg_head(init["vgg_sd"])
 
     init_batch = {k: jnp.asarray(v) for k, v in batches[0].items()
                   if k != "raw_text"}
@@ -149,6 +167,9 @@ def main():
     ap.add_argument("--n-batches", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "train_parity.json"))
+    ap.add_argument("--control", action="store_true",
+                    help="also run torch vs perturbed-torch to measure "
+                         "chaotic self-divergence")
     ap.add_argument("--scale", choices=("tiny", "full"), default="tiny",
                     help="'tiny' shrinks every width (op sequence is "
                          "identical; a full-size torch step costs ~4 min "
@@ -173,13 +194,23 @@ def main():
                 .astype(np.float32) for _ in range(args.steps)]
 
     t0 = time.time()
-    gen, disc, vgg_t, hist_t = torch_side(cfg, args.steps, batches,
-                                          eps_list)
+    init, hist_t = torch_side(cfg, args.steps, batches, eps_list)
     t_torch = time.time() - t0
     print(f"torch side: {args.steps} steps in {t_torch:.1f}s")
 
+    control = None
+    if args.control:
+        # Chaos yardstick: the SAME torch implementation with a 1e-7
+        # relative perturbation of one weight. Its divergence from the
+        # unperturbed run bounds what "identical dynamics" can look like
+        # after N GAN steps in float32.
+        _, hist_c = torch_side(cfg, args.steps, batches, eps_list,
+                               perturb=1e-7)
+        control = compare(hist_t, hist_c)
+        print("control (torch vs torch+1e-7 perturbation) computed")
+
     t0 = time.time()
-    hist_j = jax_side(gen, disc, vgg_t, cfg, args.steps, batches, eps_list)
+    hist_j = jax_side(init, cfg, args.steps, batches, eps_list)
     t_jax = time.time() - t0
     print(f"jax side:   {args.steps} steps in {t_jax:.1f}s")
 
@@ -191,6 +222,7 @@ def main():
                     "kl_w 1e-3",
         "steps": args.steps, "batch": args.batch, "scale": args.scale,
         "losses": report,
+        "control_chaos_yardstick": control,
         "torch_history": hist_t, "jax_history": hist_j,
     }
     with open(args.out, "w") as f:

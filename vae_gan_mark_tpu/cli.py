@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of epoch 2 here")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable the device mesh (single device)")
+    # Multi-process (multi-host) execution: pass --coordinator (and
+    # --num-processes/--process-id when not inferable) on every host, or
+    # set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN localization (the heavyweight "
                         "equivalent of torch detect_anomaly)")
@@ -85,11 +92,23 @@ def main(argv=None):
         overrides["batch_size"] = args.batch_size
     cfg = get_config(args.variant, **overrides)
 
+    # Must run before any other JAX use so the processes form one runtime.
+    from vae_gan_mark_tpu.parallel import distributed
+    distributed.initialize(args.coordinator, args.num_processes,
+                           args.process_id)
+    import jax
+    n_proc, proc_id = jax.process_count(), jax.process_index()
+
     from vae_gan_mark_tpu.train.loop import Trainer
 
     if args.debug_nans:
         from vae_gan_mark_tpu.utils.debug import enable_nan_debugging
         enable_nan_debugging()
+
+    # In multi-process runs each process loads only its rows of the global
+    # batch; Trainer assembles them into globally sharded arrays.
+    assert cfg.batch_size % n_proc == 0, (cfg.batch_size, n_proc)
+    local_bs = cfg.batch_size // n_proc
 
     if args.synthetic:
         from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
@@ -100,13 +119,18 @@ def main(argv=None):
                                        seed=args.seed + 1)
         steps = args.synthetic_samples // cfg.batch_size
 
+        def local_rows(batch):
+            sl = slice(proc_id * local_bs, (proc_id + 1) * local_bs)
+            return {k: v[sl] for k, v in batch.items()}
+
         def train_data(epoch):
             for i in range(steps):
-                yield train_ds.batch(cfg.batch_size, i + epoch * steps)
+                yield local_rows(train_ds.batch(cfg.batch_size,
+                                                i + epoch * steps))
 
         def val_data(epoch):
             for i in range(max(steps // 8, 1)):
-                yield val_ds.batch(cfg.batch_size, i)
+                yield local_rows(val_ds.batch(cfg.batch_size, i))
     else:
         if not all((args.json_dir, args.ru_dir, args.en_dir, args.mask_dir)):
             raise SystemExit("--json-dir/--ru-dir/--en-dir/--mask-dir are "
@@ -124,16 +148,21 @@ def main(argv=None):
         train_idx, val_idx = grouped_split(samples, cfg.val_split,
                                            cfg.split_seed)
         print(f"train/val: {len(train_idx)}/{len(val_idx)}")
+        if n_proc > 1:
+            # Disjoint per-process index shards (the split itself is
+            # identical on every process: same seed, same listing).
+            train_idx = train_idx[proc_id::n_proc]
+            val_idx = val_idx[proc_id::n_proc]
         text_embed_fn = None
         if cfg.text_encoder == "sbert":
             from vae_gan_mark_tpu.data.text_embed import make_text_embedder
             text_embed_fn = make_text_embedder()
-        train_data = Loader(cfg, samples, train_idx, shuffle=True,
-                            drop_last=True, seed=args.seed,
+        train_data = Loader(cfg, samples, train_idx, batch_size=local_bs,
+                            shuffle=True, drop_last=True, seed=args.seed,
                             num_workers=args.num_workers,
                             text_embed_fn=text_embed_fn)
-        val_data = Loader(cfg, samples, val_idx, shuffle=False,
-                          drop_last=False, seed=args.seed,
+        val_data = Loader(cfg, samples, val_idx, batch_size=local_bs,
+                          shuffle=False, drop_last=False, seed=args.seed,
                           num_workers=args.num_workers,
                           text_embed_fn=text_embed_fn) \
             if val_idx else None

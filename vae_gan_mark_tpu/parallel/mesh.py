@@ -55,7 +55,23 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def replicate_tree(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, replicated(mesh))
+    # Multi-process: jax.device_put with a global sharding would run a
+    # cross-process equality check (one collective per leaf). Every process
+    # holds the same host value (deterministic init / restored checkpoint),
+    # so assemble the replicated global array directly from per-device
+    # copies — collective-free.
+    s = replicated(mesh)
+    local_devices = [d for d in s.device_set
+                     if d.process_index == jax.process_index()]
+
+    def put(x):
+        x = np.asarray(x)
+        shards = [jax.device_put(x, d) for d in local_devices]
+        return jax.make_array_from_single_device_arrays(x.shape, s, shards)
+
+    return jax.tree.map(put, tree)
 
 
 def _tp_spec_for(path_leaf_shape, kernel_min_ch: int):

@@ -24,32 +24,48 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "host_meta.json")
 
 
+def _sync(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(root: str, name: str, state, epoch: int, best_val: float,
                     sched_g: PlateauState, sched_d: PlateauState,
                     lr_g: float, lr_d: float) -> str:
-    """Write checkpoint ``root/name`` (atomic replace of any existing one)."""
+    """Write checkpoint ``root/name`` (atomic replace of any existing one).
+
+    Multi-process: ``ckptr.save`` is a collective — every process must call
+    it — while the host-side tmp-dir dance and the JSON sidecar are
+    process-0-only, fenced by global barriers so no rank races ahead.
+    """
+    main = jax.process_index() == 0
     os.makedirs(root, exist_ok=True)
     path = os.path.abspath(os.path.join(root, name))
     ckptr = ocp.StandardCheckpointer()
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
+    if main and os.path.exists(tmp):
         import shutil
         shutil.rmtree(tmp)
+    _sync(f"pre_save_{name}_{epoch}")
     ckptr.save(tmp, state)
     ckptr.wait_until_finished()
-    with open(_meta_path(tmp), "w") as f:
-        json.dump({
-            "epoch": epoch,
-            "best_val": best_val,
-            "sched_g": dataclasses.asdict(sched_g),
-            "sched_d": dataclasses.asdict(sched_d),
-            "lr_g": lr_g,
-            "lr_d": lr_d,
-        }, f)
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    _sync(f"post_save_{name}_{epoch}")
+    if main:
+        with open(_meta_path(tmp), "w") as f:
+            json.dump({
+                "epoch": epoch,
+                "best_val": best_val,
+                "sched_g": dataclasses.asdict(sched_g),
+                "sched_d": dataclasses.asdict(sched_d),
+                "lr_g": lr_g,
+                "lr_d": lr_d,
+            }, f)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+    _sync(f"done_save_{name}_{epoch}")
     return path
 
 

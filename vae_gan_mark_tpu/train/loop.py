@@ -47,6 +47,25 @@ from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
 DataSource = Callable[[int], Iterator[dict]]
 
 
+class _NullLogger:
+    """Logger stand-in for non-primary processes in multi-process runs."""
+
+    def log(self, *a, **k):
+        pass
+
+    def log_images(self, *a, **k):
+        pass
+
+    def set_summary(self, *a, **k):
+        pass
+
+    def log_model_artifact(self, *a, **k):
+        pass
+
+    def finish(self):
+        pass
+
+
 def prefetch_to_device(iterator: Iterator[dict], put, size: int = 2):
     """Double-buffered host->device prefetch.
 
@@ -94,7 +113,13 @@ class Trainer:
         self.val_data = val_data
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        self.logger = logger or MetricsLogger(workdir, run_name=cfg.name)
+        # In multi-process runs only process 0 writes metrics/images (every
+        # process sees identical replicated metric values).
+        self.is_main = jax.process_index() == 0
+        if logger is None:
+            logger = (MetricsLogger(workdir, run_name=cfg.name)
+                      if self.is_main else _NullLogger())
+        self.logger = logger
         self.nan_guard = nan_guard
         self.profile_dir = profile_dir
 
@@ -142,6 +167,13 @@ class Trainer:
     def _put(self, batch: dict) -> dict:
         batch = {k: v for k, v in batch.items() if k != "raw_text"}
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                # Multi-process: ``batch`` holds this process's rows only;
+                # assemble the global batch-sharded arrays.
+                from vae_gan_mark_tpu.parallel.distributed import (
+                    global_batch_from_local)
+                return global_batch_from_local(
+                    {k: np.asarray(v) for k, v in batch.items()}, self.mesh)
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
