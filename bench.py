@@ -61,6 +61,10 @@ def main():
     peak_tflops = (197.0 if "v5 lit" in dev_kind or "v5e" in dev_kind
                    else 275.0 if "v4" in dev_kind else None)
 
+    # BENCH_MULTISTEP=K scans K steps per dispatch (amortizes host/tunnel
+    # dispatch latency — matters at the reference's small batch sizes).
+    multi_k = int(os.environ.get("BENCH_MULTISTEP", "0"))
+
     best_ips, best_bs, best_mfu, best_tflops = 0.0, 0, None, None
     sweep = []
     for bs in batch_sizes:
@@ -68,7 +72,12 @@ def main():
         batch = device_batch(ds.batch(bs, 0))
         state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
         vgg = load_vgg_params()
-        step = jit_train_step(cfg)
+        if multi_k:
+            from vae_gan_mark_tpu.train.step import jit_multi_train_step
+            step = jit_multi_train_step(cfg)
+            batch = {k: jnp.stack([v] * multi_k) for k, v in batch.items()}
+        else:
+            step = jit_train_step(cfg)
         rng = jax.random.PRNGKey(1)
         kl = jnp.float32(1e-3)
 
@@ -78,7 +87,10 @@ def main():
             # calls below hit — no extra compile.
             cost = step.lower(state, vgg, batch, rng, kl).compile(
                 ).cost_analysis()
-            if cost and "flops" in cost:
+            # XLA's cost analysis does not see inside scan loops, so the
+            # multi-step program would report near-zero flops; skip
+            # TFLOP/s+MFU there rather than print garbage.
+            if cost and "flops" in cost and not multi_k:
                 step_flops = float(cost["flops"])
         except Exception as e:  # cost analysis is best-effort
             log(f"[bench] cost_analysis unavailable: {e}")
@@ -102,18 +114,21 @@ def main():
         final_loss = float(m["loss_G"])
         dt = time.time() - t0
         assert final_loss == final_loss, "NaN loss in benchmark"
-        ips = steps * bs / dt
+        ips = steps * max(multi_k, 1) * bs / dt
         tflops = mfu = None
         if step_flops:
             tflops = step_flops / (dt / steps) / 1e12
             if peak_tflops:
                 mfu = tflops / peak_tflops
+        ms_step = dt / steps / max(multi_k, 1) * 1000
         log(f"[bench] bs={bs}: {ips:.1f} images/sec "
-            f"({dt / steps * 1000:.1f} ms/step"
+            f"({ms_step:.1f} ms/step"
+            + (f", x{multi_k} steps/dispatch" if multi_k else "")
             + (f", {tflops:.1f} TFLOP/s" if tflops else "")
             + (f", MFU {mfu:.2f}" if mfu else "") + ")")
         sweep.append({"batch": bs, "images_per_sec": round(ips, 2),
-                      "ms_per_step": round(dt / steps * 1000, 2),
+                      "ms_per_step": round(ms_step, 2),
+                      "steps_per_dispatch": multi_k or 1,
                       "tflops_per_sec": round(tflops, 2) if tflops else None,
                       "mfu": round(mfu, 3) if mfu else None})
         if ips > best_ips:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 from vae_gan_mark_tpu.config import VARIANTS, get_config
 
@@ -97,6 +98,12 @@ def main(argv=None):
     distributed.initialize(args.coordinator, args.num_processes,
                            args.process_id)
     import jax
+    # Persistent compile cache: repeat runs of the same config skip the
+    # (minutes-long on first use) XLA compile.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.expanduser("~/.cache/vae_gan_mark_tpu/jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     n_proc, proc_id = jax.process_count(), jax.process_index()
 
     from vae_gan_mark_tpu.train.loop import Trainer

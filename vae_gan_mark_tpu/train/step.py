@@ -186,8 +186,42 @@ def build_eval_step(cfg: VariantConfig):
     return step
 
 
+def build_multi_train_step(cfg: VariantConfig):
+    """K train steps in ONE dispatch via ``lax.scan``.
+
+    ``batches`` holds stacked arrays with a leading steps axis of size K
+    (stack K host batches with ``np.stack``). Semantics are identical to K
+    sequential ``build_train_step`` calls — the per-step RNG folds
+    ``state.step``, which advances inside the scan — so this is a pure
+    dispatch-latency optimization: at the reference's batch 16 the step
+    computes ~25 ms of work but a tunneled/remote chip pays a host
+    round-trip per dispatch; scanning K steps amortizes it. Returns the
+    new state and metrics averaged over the K steps (matching how the
+    epoch driver averages per-step metrics).
+    """
+    single = build_train_step(cfg)
+
+    def step(state: TrainState, vgg_params, batches: Batch, rng: jax.Array,
+             kl_weight: jnp.ndarray):
+        def body(carry, batch):
+            new_state, metrics = single(carry, vgg_params, batch, rng,
+                                        kl_weight)
+            return new_state, metrics
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return step
+
+
 def jit_train_step(cfg: VariantConfig):
     return jax.jit(build_train_step(cfg), donate_argnums=(0,))
+
+
+def jit_multi_train_step(cfg: VariantConfig):
+    # Only the state is donated: callers may legitimately reuse a stacked
+    # batch across dispatches (benchmarks), and batches are small next to
+    # the training state.
+    return jax.jit(build_multi_train_step(cfg), donate_argnums=(0,))
 
 
 def jit_eval_step(cfg: VariantConfig):
