@@ -92,16 +92,17 @@ def test_trained_model_output_tracks_text():
     h, w = cfg.patch_h, cfg.patch_w
     rng = np.random.default_rng(0)
     ru = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
-    mask = np.zeros((1, h, w, 1), np.float32)
-    y0, x0 = 8, 16
-    mask[0, y0:y0 + h // 2, x0:x0 + w // 2] = 1.0
-    text_a, text_b = "HHHH", "...."
+    # Full-patch mask: with a single shared ru, the latent z carries zero
+    # text information, so *any* target separation must come through the
+    # conditioning path. Maximally distinct strings keep the needed
+    # training short enough for the CPU backend.
+    mask = np.ones((1, h, w, 1), np.float32)
+    text_a, text_b = "HHHHHHHHHH", "."
 
     def target(text):
-        en = np.where(mask > 0, ru[..., [1, 2, 0]], ru)
-        g = render_text_raster(text, h // 2, w // 2)[..., None]
-        region = en[0, y0:y0 + h // 2, x0:x0 + w // 2]
-        en[0, y0:y0 + h // 2, x0:x0 + w // 2] = region * (1 - g) + g
+        en = ru[..., [1, 2, 0]].copy()
+        g = render_text_raster(text, h, w)[..., None]
+        en[0] = en[0] * (1 - g) + g
         return en
 
     en_a, en_b = target(text_a), target(text_b)
