@@ -21,6 +21,7 @@ import sys
 def main():
     rank, nprocs, port, out_json = (int(sys.argv[1]), int(sys.argv[2]),
                                     int(sys.argv[3]), sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "steps"
     import jax
     from vae_gan_mark_tpu.parallel import distributed
 
@@ -54,6 +55,37 @@ def main():
 
     global_bs = 8
     ds = SyntheticPatchDataset(cfg, num_samples=32, seed=0)
+
+    if mode == "trainer":
+        # Full Trainer epoch: exercises the multi-process paths the bare
+        # steps below do not — per-process batch assembly inside
+        # Trainer._put, sharded-eval triplet collection from addressable
+        # shards, process-0-gated logging, barrier-fenced checkpoints.
+        import os
+        import tempfile
+        from vae_gan_mark_tpu.train.loop import Trainer
+
+        sl = distributed.process_local_slice(global_bs)
+
+        def data(epoch):
+            for i in range(2):
+                full = ds.batch(global_bs, i)
+                yield {k: v[sl] for k, v in full.items()}
+
+        wd = os.path.join(tempfile.gettempdir(),
+                          f"mp_trainer_{port}")
+        trainer = Trainer(cfg, data, data, workdir=wd, use_mesh=True)
+        best = trainer.fit(epochs=1)
+        out = {"best_val": float(best),
+               "metrics_jsonl_exists": os.path.exists(
+                   os.path.join(wd, f"{cfg.name}.metrics.jsonl")),
+               "ckpt_exists": os.path.isdir(
+                   os.path.join(wd, "last_checkpoint"))}
+        if jax.process_index() == 0:
+            with open(out_json, "w") as f:
+                json.dump(out, f)
+        print(f"rank {rank} trainer done: {out}", flush=True)
+        return
 
     def global_batch(step_idx):
         full = ds.batch(global_bs, step_idx)

@@ -42,13 +42,13 @@ def _free_port():
     return port
 
 
-def _run_workers(nprocs, out_json, port, timeout=1800):
+def _run_workers(nprocs, out_json, port, timeout=1800, mode="steps"):
     env = _clean_env()
     if nprocs == 1:
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     procs = [subprocess.Popen(
         [sys.executable, WORKER, str(rank), str(nprocs), str(port),
-         out_json],
+         out_json, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, cwd=REPO) for rank in range(nprocs)]
     outs = []
@@ -70,3 +70,15 @@ def test_two_process_dp_equals_single_process(tmp_path):
     for k in sp:
         np.testing.assert_allclose(mp[k], sp[k], rtol=2e-4, atol=1e-5,
                                    err_msg=k)
+
+
+def test_two_process_trainer_epoch(tmp_path):
+    """Full Trainer epoch across 2 processes: batch assembly in _put,
+    validation with sharded outputs (triplets from addressable shards),
+    process-0 logging, barrier-fenced checkpoint saves."""
+    out_mp = str(tmp_path / "mp_trainer.json")
+    _run_workers(2, out_mp, _free_port(), mode="trainer")
+    result = json.load(open(out_mp))
+    assert np.isfinite(result["best_val"])
+    assert result["metrics_jsonl_exists"]
+    assert result["ckpt_exists"]

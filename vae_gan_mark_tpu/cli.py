@@ -127,7 +127,7 @@ def main(argv=None):
         steps = args.synthetic_samples // cfg.batch_size
 
         def local_rows(batch):
-            sl = slice(proc_id * local_bs, (proc_id + 1) * local_bs)
+            sl = distributed.process_local_slice(cfg.batch_size)
             return {k: v[sl] for k, v in batch.items()}
 
         def train_data(epoch):
@@ -158,8 +158,16 @@ def main(argv=None):
         if n_proc > 1:
             # Disjoint per-process index shards (the split itself is
             # identical on every process: same seed, same listing).
-            train_idx = train_idx[proc_id::n_proc]
-            val_idx = val_idx[proc_id::n_proc]
+            # Contiguous equal-length blocks — NOT strided leftovers — so
+            # every rank yields the same number of batches with identical
+            # shapes; a rank with one extra batch would deadlock the
+            # collective train step. Decode failures inside a batch produce
+            # zero-dummy samples (data/pipeline.py), not dropped batches,
+            # so the per-rank streams stay aligned.
+            def shard(idx):
+                per = len(idx) // n_proc
+                return idx[proc_id * per:(proc_id + 1) * per]
+            train_idx, val_idx = shard(train_idx), shard(val_idx)
         text_embed_fn = None
         if cfg.text_encoder == "sbert":
             from vae_gan_mark_tpu.data.text_embed import make_text_embedder

@@ -96,7 +96,6 @@ class SyntheticPatchDataset:
                 region = self.en[i, y0:y0 + mh, x0:x0 + mw]
                 self.en[i, y0:y0 + mh, x0:x0 + mw] = (
                     region * (1.0 - g) + g)
-        alphabet = cfg.alphabet
         self.tokenizer = CharTokenizer(alphabet, cfg.max_text_len)
 
     def text_batch(self, idx: np.ndarray) -> np.ndarray:

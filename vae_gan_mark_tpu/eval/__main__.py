@@ -76,9 +76,15 @@ def main(argv=None):
         samples = build_index(args.json_dir, args.ru_dir, args.en_dir,
                               args.mask_dir)
         _, val_idx = grouped_split(samples, cfg.val_split, cfg.split_seed)
+        text_embed_fn = None
+        if cfg.text_encoder == "sbert":
+            # Same embedder the trainer used — the hash_embed fallback
+            # would silently evaluate on pseudo-embeddings.
+            from vae_gan_mark_tpu.data.text_embed import make_text_embedder
+            text_embed_fn = make_text_embedder()
         loader = HostWarpLoader(cfg, samples, val_idx, batch_size=bs,
                                 shuffle=False, drop_last=False,
-                                seed=args.seed)
+                                seed=args.seed, text_embed_fn=text_embed_fn)
 
         def batches():
             yield from loader(0)
@@ -102,8 +108,11 @@ def main(argv=None):
                 raise SystemExit(
                     f"no checkpoint {args.checkpoint} in {args.workdir}")
             state, init = restored
+        # The config's final KL weight, matching how the trainer's
+        # full-loss validation weights loss_G after annealing completes.
         metrics, _ = estep(state, vgg, batch,
-                           jax.random.fold_in(rng, i), jnp.float32(1.0))
+                           jax.random.fold_in(rng, i),
+                           jnp.float32(cfg.kl_weight))
         b = batch["ru"].shape[0]
         weighted = jax.tree.map(lambda v: v * b, metrics)
         sums = weighted if sums is None else jax.tree.map(

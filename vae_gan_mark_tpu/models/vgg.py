@@ -5,7 +5,7 @@ conv1_1 .. relu3_3 with two max-pools — in eval mode with ImageNet
 normalization (vae-gan.py:300-311). torchvision is not available in this
 environment (and there is no network egress to fetch weights), so:
 
-* the architecture is reproduced exactly (8 convs, k3 p1, ReLU, 2 pools);
+* the architecture is reproduced exactly (7 convs, k3 p1, ReLU, 2 pools);
 * weights load from ``tools/vgg16_features.npz`` when that file exists
   (produced offline by ``tools/port_vgg16.py`` from a torchvision
   checkpoint);

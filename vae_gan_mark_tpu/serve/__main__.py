@@ -56,9 +56,16 @@ def main(argv=None):
     image = np.asarray(Image.open(args.image).convert("RGB"))
     mask = np.asarray(Image.open(args.mask).convert("L"))
 
+    text_embed_fn = None
+    if cfg.text_encoder == "sbert":
+        # Real SBERT embeddings, as in training; the engine's hash_embed
+        # fallback is a test stub, not a serving path.
+        from vae_gan_mark_tpu.data.text_embed import make_text_embedder
+        text_embed_fn = make_text_embedder()
     engine = InferenceEngine.from_checkpoint(
         cfg, args.workdir, name=args.checkpoint,
-        batch_size=args.batch_size, seed=args.seed)
+        batch_size=args.batch_size, seed=args.seed,
+        text_embed_fn=text_embed_fn)
     out = engine.render(image, mask, quad, args.text)
     out8 = np.clip(np.asarray(out) * 255.0, 0, 255).astype(np.uint8)
     Image.fromarray(out8).save(args.out)

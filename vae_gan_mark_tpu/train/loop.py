@@ -80,25 +80,44 @@ def prefetch_to_device(iterator: Iterator[dict], put, size: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
+
+    def send(item) -> bool:
+        # Bounded put that gives up when the consumer abandoned the
+        # generator (train_step raised / KeyboardInterrupt) — otherwise the
+        # thread would block forever holding transferred device batches.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
                 if item is None:
                     continue
-                q.put(put(item))
-            q.put(sentinel)
+                if not send(put(item)):
+                    return
+            send(sentinel)
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            send(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # release pinned device buffers
+            q.get_nowait()
 
 
 class Trainer:
@@ -225,8 +244,19 @@ class Trainer:
             weighted = jax.tree.map(lambda v: v * bsz, metrics)
             sums = weighted if sums is None else jax.tree.map(
                 jnp.add, sums, weighted)
-            if len(triplets) < 16:
-                fake_np = np.asarray(fake)
+            if len(triplets) < 16 and self.is_main:
+                if jax.process_count() > 1:
+                    # `fake` is a global batch-sharded array whose shards
+                    # span other hosts; np.asarray would raise. Use this
+                    # process's addressable rows — they correspond to the
+                    # local host_batch rows fed in.
+                    fake_np = np.concatenate(
+                        [np.asarray(s.data)
+                         for s in fake.addressable_shards])
+                    bsz = min(bsz, fake_np.shape[0],
+                              len(host_batch["ru"]))
+                else:
+                    fake_np = np.asarray(fake)
                 raw_texts = host_batch.get("raw_text")
                 for i in range(min(bsz, 16 - len(triplets))):
                     # Caption carries the target text like the reference

@@ -54,7 +54,20 @@ def get_lr(opt_state) -> float:
 
 def set_lr(opt_state, lr: float):
     hp = dict(opt_state.hyperparams)
-    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    old = hp["learning_rate"]
+    new = jnp.asarray(lr, jnp.float32)
+    if jax.process_count() > 1 and isinstance(old, jax.Array):
+        # Keep the replicated global sharding of the array being replaced:
+        # a plain single-device scalar here would make the optimizer state
+        # unserializable in multi-host checkpointing (orbax refuses
+        # host-local arrays) and would de-replicate the jitted step's
+        # input sharding.
+        import numpy as np
+        shards = [jax.device_put(np.asarray(lr, np.float32), d)
+                  for d in old.sharding.addressable_devices]
+        new = jax.make_array_from_single_device_arrays(
+            (), old.sharding, shards)
+    hp["learning_rate"] = new
     return opt_state._replace(hyperparams=hp)
 
 
