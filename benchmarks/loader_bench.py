@@ -110,6 +110,24 @@ def main():
             ips, nb = drain(loader, args.epochs)
             out[name] = {"images_per_sec": round(ips, 2), "batches": nb}
             print(f"[loader-bench] {name}: {ips:.1f} img/s")
+
+        # Persistent decoded-patch cache (data/patch_cache.py): epoch 0
+        # decodes+warps once into a uint8 memmap; steady-state epochs
+        # stream from it at disk/memory speed. The steady-state number is
+        # what a multi-epoch training run actually sees.
+        cache_dir = os.path.join(root, "patch_cache")
+        loader = HostWarpLoader(cfg, samples, idx, batch_size=args.batch,
+                                shuffle=False, drop_last=False, seed=0,
+                                num_workers=args.workers,
+                                cache_dir=cache_dir)
+        t0 = time.time()
+        drain(loader, 1)  # cold epoch: pays the one-time decode+warp
+        cold_s = time.time() - t0
+        ips, nb = drain(loader, args.epochs)
+        out["cached"] = {"images_per_sec": round(ips, 2), "batches": nb,
+                         "cold_epoch_seconds": round(cold_s, 2)}
+        print(f"[loader-bench] cached: {ips:.1f} img/s steady-state "
+              f"(cold epoch {cold_s:.1f}s)")
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))

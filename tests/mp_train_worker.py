@@ -72,8 +72,18 @@ def main():
                 full = ds.batch(global_bs, i)
                 yield {k: v[sl] for k, v in full.items()}
 
+        # Fresh workdir per run: a stale dir (e.g. a reused random port on
+        # a shared machine) would make Trainer auto-resume from an old
+        # last_checkpoint and the asserted results would not reflect a
+        # fresh 1-epoch run. Rank 0 clears it while ranks are in lockstep.
         wd = os.path.join(tempfile.gettempdir(),
                           f"mp_trainer_{port}")
+        if jax.process_index() == 0 and os.path.isdir(wd):
+            import shutil
+            shutil.rmtree(wd)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("workdir_cleared")
         trainer = Trainer(cfg, data, data, workdir=wd, use_mesh=True)
         best = trainer.fit(epochs=1)
         out = {"best_val": float(best),

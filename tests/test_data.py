@@ -200,3 +200,65 @@ class TestNativeWarp:
         b = next(iter(loader(0)))
         assert b["ru"].shape == (4, 32, 64, 3)
         assert np.isfinite(b["ru"]).all()
+
+
+class TestPatchCache:
+    def _index(self, tmp_path):
+        dirs = make_dataset(str(tmp_path))
+        return build_index(dirs["json"], dirs["ru"], dirs["en"],
+                           dirs["mask"])
+
+    def test_cached_loader_matches_direct(self, tmp_path):
+        """Cache hit path must reproduce the direct decode+warp batches
+        exactly (uint8 round-trip of /255.0 floats is lossless)."""
+        cfg = get_config("v2", patch_h=16, patch_w=32, max_text_len=12)
+        samples = self._index(tmp_path)
+        idx = list(range(len(samples)))
+        direct = HostWarpLoader(cfg, samples, idx, batch_size=4,
+                                shuffle=False, drop_last=False,
+                                num_workers=2)
+        cached = HostWarpLoader(cfg, samples, idx, batch_size=4,
+                                shuffle=False, drop_last=False,
+                                num_workers=2,
+                                cache_dir=str(tmp_path / "cache"))
+        for _ in range(2):  # pass 2 reads purely from the memmap
+            for a, b in zip(direct(0), cached(0)):
+                for key in ("ru", "en", "mask", "text"):
+                    np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+                assert a["raw_text"] == b["raw_text"]
+
+    def test_cache_persists_and_invalidates(self, tmp_path):
+        cfg = get_config("v2", patch_h=16, patch_w=32, max_text_len=12)
+        samples = self._index(tmp_path)
+        from vae_gan_mark_tpu.data.patch_cache import PatchCache
+        cache = PatchCache(str(tmp_path / "c"), cfg, samples)
+        cache.prewarm(num_workers=2)
+        assert int(cache.filled.min()) == 2
+        # Reopen: fingerprint matches, rows stay filled.
+        again = PatchCache(str(tmp_path / "c"), cfg, samples)
+        assert int(again.filled.min()) == 2
+        # Geometry change invalidates.
+        cfg2 = get_config("v2", patch_h=32, patch_w=32, max_text_len=12)
+        inval = PatchCache(str(tmp_path / "c"), cfg2, samples)
+        assert int(inval.filled.max()) == 0
+
+    def test_cache_zero_dummy_semantics(self, tmp_path):
+        """A broken source file caches the reference's zero-dummy row
+        (vae-gan.py:284-288), same as the direct path."""
+        cfg = get_config("v2", patch_h=16, patch_w=32, max_text_len=12)
+        samples = self._index(tmp_path)
+        os.truncate(samples[0].ru_image_path, 3)
+        cached = HostWarpLoader(cfg, samples, [0], batch_size=1,
+                                shuffle=False, drop_last=False,
+                                num_workers=1,
+                                cache_dir=str(tmp_path / "cache"))
+        (batch,) = list(cached(0))
+        assert batch["ru"].min() == batch["ru"].max() == 0.0
+        # Failed rows keep the reference's empty-text semantics, exactly
+        # like the direct (uncached) path.
+        assert batch["raw_text"] == [""]
+        direct = HostWarpLoader(cfg, samples, [0], batch_size=1,
+                                shuffle=False, drop_last=False,
+                                num_workers=1)
+        (dbatch,) = list(direct(0))
+        np.testing.assert_array_equal(batch["text"], dbatch["text"])

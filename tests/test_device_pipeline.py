@@ -10,6 +10,8 @@ from vae_gan_mark_tpu.data.device_pipeline import (
 from vae_gan_mark_tpu.data.index import build_index
 from vae_gan_mark_tpu.data.pipeline import HostWarpLoader
 
+pytestmark = pytest.mark.slow  # jitted warp/model compiles
+
 pytest.importorskip("PIL")
 from tests.test_data import make_dataset  # noqa: E402
 

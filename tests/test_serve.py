@@ -2,12 +2,17 @@
 full-image render."""
 
 import numpy as np
+import pytest
 
 import jax
 
 from vae_gan_mark_tpu.config import get_config
 from vae_gan_mark_tpu.models import VAEGANGenerator
 from vae_gan_mark_tpu.serve import InferenceEngine
+
+# Generator compiles (even tiny-config) are minutes-long on a 1-core CPU
+# host; keep the fast tier free of them.
+pytestmark = pytest.mark.slow
 
 TINY = dict(patch_h=32, patch_w=64, compute_dtype="float32",
             enc_chans=(8, 16, 24, 32), bottleneck_ch=48, z_ch=16,

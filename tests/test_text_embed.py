@@ -85,6 +85,44 @@ def test_make_text_embedder_falls_back_offline(monkeypatch):
     np.testing.assert_array_equal(out, hash_embed(["x", "y"]))
 
 
+def test_make_text_embedder_strict_mode_raises(monkeypatch):
+    """require_sbert=True must refuse the silent hash fallback (serving an
+    sbert checkpoint on pseudo-embeddings would generate garbage)."""
+    bad = types.ModuleType("sentence_transformers")
+
+    def _raise(*a, **k):
+        raise OSError("no cached model / no network")
+
+    bad.SentenceTransformer = _raise
+    monkeypatch.setitem(sys.modules, "sentence_transformers", bad)
+    with pytest.raises(RuntimeError, match="allow-hash-embed"):
+        make_text_embedder(require_sbert=True)
+
+
+def test_serve_cli_defaults_to_strict_embedder(monkeypatch, tmp_path):
+    """`python -m vae_gan_mark_tpu.serve` on an sbert variant without the
+    model errors loudly before touching any checkpoint (no
+    --allow-hash-embed)."""
+    from PIL import Image
+    from vae_gan_mark_tpu.serve import __main__ as serve_main
+
+    bad = types.ModuleType("sentence_transformers")
+
+    def _raise(*a, **k):
+        raise OSError("no cached model / no network")
+
+    bad.SentenceTransformer = _raise
+    monkeypatch.setitem(sys.modules, "sentence_transformers", bad)
+    img = tmp_path / "in.png"
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(img)
+    argv = ["--variant", "vanilla", "--workdir", str(tmp_path),
+            "--image", str(img), "--mask", str(img),
+            "--quad", "0,0,63,0,63,63,0,63", "--text", "t",
+            "--out", str(tmp_path / "out.png")]
+    with pytest.raises(RuntimeError, match="allow-hash-embed"):
+        serve_main.main(argv)
+
+
 def test_hash_embed_distinct_and_stable():
     a = hash_embed(["alpha", "beta", "alpha"])
     assert a.shape == (3, 384)

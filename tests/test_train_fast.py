@@ -1,0 +1,99 @@
+"""Fast-tier train-step smoke: tiny-config loss-decrease, bitwise resume,
+and spectral/BN state advancement.
+
+test_train.py keeps the broad slow-tier integration matrix; this file gives
+``pytest -m fast`` real train-step coverage with exactly two tiny-config
+compiles (one default-loss, one pure-VAE) and short step counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vae_gan_mark_tpu.config import get_config
+from vae_gan_mark_tpu.data.synthetic import device_batch, SyntheticPatchDataset
+from vae_gan_mark_tpu.models.vgg import load_vgg_params
+from vae_gan_mark_tpu.train.checkpoint import (
+    restore_checkpoint, save_checkpoint)
+from vae_gan_mark_tpu.train.schedule import PlateauState
+from vae_gan_mark_tpu.train.state import create_train_state
+from vae_gan_mark_tpu.train.step import jit_train_step
+
+TINY = dict(patch_h=32, patch_w=64, compute_dtype="float32",
+            enc_chans=(8, 16, 24, 32), bottleneck_ch=48, z_ch=16,
+            char_emb_dim=16, char_rnn_hidden=16, max_text_len=12,
+            batch_size=8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("v2", **TINY)
+    ds = SyntheticPatchDataset(cfg, num_samples=64, seed=0)
+    batch0 = device_batch(ds.batch(8, 0))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch0)
+    return cfg, ds, state, load_vgg_params()
+
+
+def test_step_advances_spectral_and_bn_state(setup):
+    cfg, ds, state, vgg = setup
+    step = jit_train_step(cfg)
+    u_before = jax.tree.map(np.asarray, state.d_spectral)
+    bs_before = jax.tree.map(np.asarray, state.g_batch_stats)
+    state, m = step(state, vgg, device_batch(ds.batch(8, 0)),
+                    jax.random.PRNGKey(1), jnp.float32(1e-4))
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    changed_u = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                             u_before, state.d_spectral)
+    assert any(jax.tree.leaves(changed_u)), "spectral u must advance"
+    changed_bs = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                              bs_before, state.g_batch_stats)
+    assert any(jax.tree.leaves(changed_bs)), "BN running stats must update"
+
+
+def test_resume_is_bitwise(setup, tmp_path):
+    cfg, ds, state, vgg = setup
+    step = jit_train_step(cfg)  # cached from the test above
+    rng = jax.random.PRNGKey(3)
+
+    def advance(s, start, n):
+        m = None
+        for i in range(start, start + n):
+            s, m = step(s, vgg, device_batch(ds.batch(8, i)), rng,
+                        jnp.float32(1e-4))
+        return s, m
+
+    state, _ = advance(state, 0, 2)
+    save_checkpoint(str(tmp_path), "ck", state, epoch=0, best_val=1.0,
+                    sched_g=PlateauState(), sched_d=PlateauState(),
+                    lr_g=1e-4, lr_d=1e-4)
+    cont_state, cont_m = advance(state, 2, 2)
+    restored, meta = restore_checkpoint(str(tmp_path), "ck", state)
+    res_state, res_m = advance(restored, 2, 2)
+    for k in cont_m:
+        assert float(cont_m[k]) == pytest.approx(float(res_m[k]),
+                                                 rel=1e-6), k
+    for a, b in zip(jax.tree.leaves(cont_state.g_params),
+                    jax.tree.leaves(res_state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vae_loss_decreases_fast():
+    """Pure-VAE objective (no GAN/perc noise): recon must drop in 30 steps."""
+    cfg = get_config("v2", gan_weight=0.0, perc_weight=0.0, lr_g=2e-3,
+                     **TINY)
+    ds = SyntheticPatchDataset(cfg, num_samples=64, seed=0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               device_batch(ds.batch(8, 0)))
+    vgg = load_vgg_params()
+    step = jit_train_step(cfg)
+    rng = jax.random.PRNGKey(2)
+    recons = []
+    for i in range(30):
+        state, m = step(state, vgg, device_batch(ds.batch(8, i)), rng,
+                        jnp.float32(1e-5))
+        recons.append(float(m["recon"]))
+    first, last = np.mean(recons[:5]), np.mean(recons[-5:])
+    assert last < first * 0.95, f"recon {first:.4f} -> {last:.4f}"

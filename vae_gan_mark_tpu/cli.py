@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "on CPU workers; 'device' decodes+bucket-crops on "
                         "host and runs the perspective warp inside a jitted "
                         "TPU kernel (data/device_pipeline.py)")
+    p.add_argument("--patch-cache", default=None, metavar="DIR",
+                   help="persistent decoded-patch cache dir (host loader "
+                        "only): decode+warp each sample once, stream later "
+                        "epochs from a memmap at disk speed; prewarm "
+                        "explicitly with python -m "
+                        "vae_gan_mark_tpu.data.patch_cache")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of epoch 2 here")
     p.add_argument("--no-mesh", action="store_true",
@@ -172,14 +178,25 @@ def main(argv=None):
         if cfg.text_encoder == "sbert":
             from vae_gan_mark_tpu.data.text_embed import make_text_embedder
             text_embed_fn = make_text_embedder()
+        cache_kw = {}
+        if args.patch_cache:
+            if args.loader == "device":
+                raise SystemExit("--patch-cache requires --loader host "
+                                 "(the device loader warps on-chip)")
+            cache_kw["cache_dir"] = args.patch_cache
         train_data = Loader(cfg, samples, train_idx, batch_size=local_bs,
                             shuffle=True, drop_last=True, seed=args.seed,
                             num_workers=args.num_workers,
-                            text_embed_fn=text_embed_fn)
+                            text_embed_fn=text_embed_fn, **cache_kw)
+        # Multi-process: a trailing partial val batch (len % local_bs rows)
+        # cannot be assembled into a uniformly sharded global array by
+        # make_array_from_process_local_data, so drop it; per-rank index
+        # shards are equal-length, keeping batch counts aligned.
         val_data = Loader(cfg, samples, val_idx, batch_size=local_bs,
-                          shuffle=False, drop_last=False, seed=args.seed,
+                          shuffle=False, drop_last=(n_proc > 1),
+                          seed=args.seed,
                           num_workers=args.num_workers,
-                          text_embed_fn=text_embed_fn) \
+                          text_embed_fn=text_embed_fn, **cache_kw) \
             if val_idx else None
 
     trainer = Trainer(cfg, train_data, val_data, workdir=args.workdir,

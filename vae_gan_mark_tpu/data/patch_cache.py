@@ -1,0 +1,242 @@
+"""Persistent decoded-patch cache: decode+warp once, stream at disk speed.
+
+The dataset is static and ``load_sample``'s decode+perspective-warp is
+deterministic, yet the reference re-decodes and re-warps identical pixels
+every epoch (vae-gan.py:267-288 runs inside DataLoader workers each pass).
+On a host whose decode throughput is far below the chip's step consumption
+(this build box: ~19 img/s decode vs ~540 img/s step), that starves the
+TPU from epoch 1 onward.
+
+``PatchCache`` fixes the steady state: one uint8 memmap row per sample
+(ru RGB + en RGB + mask, packed (H, W, 7)) plus the text encoding
+(char tokens or SBERT embedding — the SBERT forward is itself expensive and
+equally deterministic). Rows fill lazily on first access (epoch 0 pays the
+decode exactly once) or eagerly via ``prewarm``; every later epoch is pure
+memmap reads. A fingerprint over the sample index (paths, bboxes, texts,
+file size/mtime) and the patch geometry invalidates the cache when the
+dataset or config changes.
+
+Failure semantics are preserved exactly: a failing sample caches the same
+zero-dummy row the reference's __getitem__ would emit (vae-gan.py:284-288).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import hashlib
+import json
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from vae_gan_mark_tpu.config import VariantConfig
+from vae_gan_mark_tpu.data.index import Sample
+
+_CHANNELS = 7  # ru RGB | en RGB | mask
+
+
+def _stat_sig(path) -> tuple:
+    try:
+        st = os.stat(path)
+        return (int(st.st_size), int(st.st_mtime))
+    except OSError:
+        return (0, 0)
+
+
+def dataset_fingerprint(cfg: VariantConfig,
+                        samples: Sequence[Sample],
+                        text_mode: str) -> str:
+    h = hashlib.sha256()
+    h.update(json.dumps([cfg.patch_h, cfg.patch_w, text_mode,
+                         len(samples)]).encode())
+    for s in samples:
+        h.update(json.dumps([
+            s.ru_image_path, s.en_image_path, s.mask_path,
+            list(map(float, np.ravel(s.bbox_ru))),
+            list(map(float, np.ravel(s.bbox_en))) if s.bbox_en else None,
+            s.text,
+            _stat_sig(s.ru_image_path),
+            _stat_sig(s.en_image_path) if s.en_image_path else None,
+        ], ensure_ascii=False).encode())
+    return h.hexdigest()
+
+
+class PatchCache:
+    """Memmap-backed cache over the FULL sample list (train and val loaders
+    index disjoint subsets of the same arrays).
+
+    ``text_embed_fn``: when given (sbert variants), text encodings cached
+    as float32 (N, sbert_dim); otherwise char tokens as int32
+    (N, max_text_len).
+    """
+
+    def __init__(self, cache_dir: str, cfg: VariantConfig,
+                 samples: Sequence[Sample], text_embed_fn=None):
+        from vae_gan_mark_tpu.data.tokenizer import CharTokenizer
+        self.cfg = cfg
+        self.samples = samples
+        self.text_embed_fn = text_embed_fn
+        self.tokenizer = CharTokenizer(cfg.alphabet, cfg.max_text_len)
+        n = len(samples)
+        h, w = cfg.patch_h, cfg.patch_w
+        if cfg.text_encoder == "sbert":
+            text_mode = f"sbert{cfg.sbert_dim}"
+            self._text_shape, self._text_dtype = (n, cfg.sbert_dim), np.float32
+        else:
+            text_mode = f"chars{cfg.max_text_len}"
+            self._text_shape, self._text_dtype = (n, cfg.max_text_len), np.int32
+
+        os.makedirs(cache_dir, exist_ok=True)
+        self.dir = cache_dir
+        meta_path = os.path.join(cache_dir, "meta.json")
+        fp = dataset_fingerprint(cfg, samples, text_mode)
+        meta = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") != fp:
+                meta = None  # dataset or geometry changed: rebuild
+        if meta is None:
+            for name in ("patches.u8", "filled.u8", "ok.u8", "text.bin"):
+                p = os.path.join(cache_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
+            with open(meta_path, "w") as f:
+                json.dump({"fingerprint": fp, "n": n, "h": h, "w": w,
+                           "text_mode": text_mode}, f)
+
+        def open_memmap(name, dtype, shape):
+            path = os.path.join(cache_dir, name)
+            nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+            fresh = not (os.path.exists(path)
+                         and os.path.getsize(path) == nbytes)
+            return np.memmap(path, dtype, "w+" if fresh else "r+",
+                             shape=shape)
+
+        self.patches = open_memmap("patches.u8", np.uint8,
+                                   (n, h, w, _CHANNELS))
+        # filled: 0 = empty, 1 = pixels cached, 2 = pixels + text cached.
+        self.filled = open_memmap("filled.u8", np.uint8, (n,))
+        # ok: decode succeeded. A failed row keeps the reference's
+        # zero-dummy + EMPTY-text semantics (vae-gan.py:284-288) — its
+        # index text must not leak into the encoding.
+        self.ok = open_memmap("ok.u8", np.uint8, (n,))
+        self.text = open_memmap("text.bin", self._text_dtype,
+                                self._text_shape)
+
+    # -- fill ----------------------------------------------------------
+    def _fill_pixels(self, idx: int) -> None:
+        from vae_gan_mark_tpu.data.pipeline import load_sample
+        ru, en, mask, text = load_sample(self.samples[idx], self.cfg)
+        row = self.patches[idx]
+        # +0.5 before the uint8 truncation: round-trips the /255.0 floats
+        # back to the exact source gray levels.
+        row[..., 0:3] = (ru * 255.0 + 0.5).astype(np.uint8)
+        row[..., 3:6] = (en * 255.0 + 0.5).astype(np.uint8)
+        row[..., 6:7] = (mask * 255.0 + 0.5).astype(np.uint8)
+        # load_sample signals failure by returning "" in place of the
+        # index text (a legitimately empty index text encodes identically
+        # either way, so the comparison is exact).
+        self.ok[idx] = 1 if text == self.samples[idx].text else 0
+
+    def _encode_texts(self, texts: List[str]) -> np.ndarray:
+        if self.cfg.text_encoder == "sbert":
+            if self.text_embed_fn is None:
+                from vae_gan_mark_tpu.data.text_embed import hash_embed
+                return hash_embed(texts, self.cfg.sbert_dim)
+            return np.asarray(self.text_embed_fn(texts), np.float32)
+        return self.tokenizer.encode(texts)
+
+    def ensure(self, indices: Sequence[int], num_workers: int = 8) -> None:
+        """Fill any missing rows (threaded decode; text encoded batched)."""
+        missing = [int(i) for i in indices if self.filled[int(i)] < 1]
+        if missing:
+            if num_workers > 1:
+                with cf.ThreadPoolExecutor(num_workers) as pool:
+                    list(pool.map(self._fill_pixels, missing))
+            else:
+                for i in missing:
+                    self._fill_pixels(i)
+            self.filled[missing] = 1
+        no_text = [int(i) for i in indices if self.filled[int(i)] < 2]
+        if no_text:
+            enc = self._encode_texts(
+                [self._row_text(i) for i in no_text])
+            self.text[no_text] = enc
+            self.filled[no_text] = 2
+
+    def prewarm(self, indices=None, num_workers: int = 8,
+                progress: bool = False) -> None:
+        idxs = list(range(len(self.samples))) if indices is None \
+            else list(indices)
+        chunk = 256
+        for start in range(0, len(idxs), chunk):
+            self.ensure(idxs[start:start + chunk], num_workers)
+            if progress:
+                print(f"[patch_cache] {min(start + chunk, len(idxs))}"
+                      f"/{len(idxs)}", flush=True)
+        self.flush()
+
+    def flush(self) -> None:
+        self.patches.flush()
+        self.text.flush()
+        self.ok.flush()
+        self.filled.flush()
+
+    # -- read ----------------------------------------------------------
+    def batch(self, indices: Sequence[int], num_workers: int = 8) -> dict:
+        """Assemble a batch dict {ru, en, mask, text, raw_text} for rows
+        ``indices``, filling misses first."""
+        idxs = [int(i) for i in indices]
+        self.ensure(idxs, num_workers)
+        rows = self.patches[idxs].astype(np.float32) / 255.0
+        return {"ru": np.ascontiguousarray(rows[..., 0:3]),
+                "en": np.ascontiguousarray(rows[..., 3:6]),
+                "mask": np.ascontiguousarray(rows[..., 6:7]),
+                "text": np.asarray(self.text[idxs]),
+                "raw_text": [self._row_text(i) for i in idxs]}
+
+    def _row_text(self, idx: int) -> str:
+        return self.samples[idx].text if self.ok[idx] else ""
+
+
+def main(argv=None):
+    """Prewarm CLI:
+
+        python -m vae_gan_mark_tpu.data.patch_cache --variant v2 \
+            --json-dir ... --ru-dir ... --en-dir ... --mask-dir ... \
+            --cache-dir ./patch_cache
+    """
+    import argparse
+    from vae_gan_mark_tpu.config import VARIANTS, get_config
+    from vae_gan_mark_tpu.data.index import build_index
+
+    p = argparse.ArgumentParser(prog="vae_gan_mark_tpu.data.patch_cache",
+                                description=main.__doc__)
+    p.add_argument("--variant", choices=sorted(VARIANTS), default="v2")
+    p.add_argument("--json-dir", required=True)
+    p.add_argument("--ru-dir", required=True)
+    p.add_argument("--en-dir", required=True)
+    p.add_argument("--mask-dir", required=True)
+    p.add_argument("--cache-dir", required=True)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--allow-hash-embed", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.variant)
+    samples = build_index(args.json_dir, args.ru_dir, args.en_dir,
+                          args.mask_dir)
+    text_embed_fn = None
+    if cfg.text_encoder == "sbert":
+        from vae_gan_mark_tpu.data.text_embed import make_text_embedder
+        text_embed_fn = make_text_embedder(
+            require_sbert=not args.allow_hash_embed)
+    cache = PatchCache(args.cache_dir, cfg, samples,
+                       text_embed_fn=text_embed_fn)
+    cache.prewarm(num_workers=args.num_workers, progress=True)
+    print(f"[patch_cache] {len(samples)} samples cached in {args.cache_dir}")
+
+
+if __name__ == "__main__":
+    main()

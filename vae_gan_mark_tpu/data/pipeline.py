@@ -114,7 +114,7 @@ class HostWarpLoader:
                  indices: Sequence[int], batch_size: Optional[int] = None,
                  shuffle: bool = True, drop_last: bool = True,
                  seed: int = 0, num_workers: int = 8,
-                 text_embed_fn=None):
+                 text_embed_fn=None, cache_dir: Optional[str] = None):
         self.cfg = cfg
         self.samples = samples
         self.indices = list(indices)
@@ -125,6 +125,15 @@ class HostWarpLoader:
         self.num_workers = num_workers
         self.tokenizer = CharTokenizer(cfg.alphabet, cfg.max_text_len)
         self.text_embed_fn = text_embed_fn
+        self.cache = None
+        if cache_dir is not None:
+            # Persistent decode-once/warp-once cache: rows fill lazily on
+            # first access, so epoch 0 pays the decode exactly once and
+            # every later epoch streams at memmap speed instead of
+            # re-decoding identical pixels (data/patch_cache.py).
+            from vae_gan_mark_tpu.data.patch_cache import PatchCache
+            self.cache = PatchCache(cache_dir, cfg, samples,
+                                    text_embed_fn=text_embed_fn)
 
     def __len__(self):
         n = len(self.indices)
@@ -146,6 +155,11 @@ class HostWarpLoader:
                 self.seed + epoch).permutation(order)
         b = self.batch_size
         limit = len(order) - (len(order) % b) if self.drop_last else len(order)
+        if self.cache is not None:
+            for start in range(0, limit, b):
+                yield self.cache.batch(order[start:start + b],
+                                       self.num_workers)
+            return
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for start in range(0, limit, b):
                 chunk = order[start:start + b]

@@ -48,11 +48,31 @@ class SbertEmbedder:
             np.float32)
 
 
-def make_text_embedder(prefer_sbert: bool = True):
-    """Best-available embedder: SBERT if cached locally, else hash fallback."""
+def make_text_embedder(prefer_sbert: bool = True,
+                       require_sbert: bool = False):
+    """Best-available embedder: SBERT if cached locally, else hash fallback.
+
+    ``require_sbert=True`` turns a missing/uncached MiniLM into a loud
+    RuntimeError instead of a silent hash_embed fallback — serving or
+    evaluating an sbert-variant checkpoint on pseudo-embeddings it was not
+    trained with would quietly produce garbage (the serve/eval CLIs pass
+    this unless ``--allow-hash-embed`` is given).
+    """
     if prefer_sbert:
         try:
             return SbertEmbedder()
-        except Exception:
-            pass
+        except Exception as e:
+            if require_sbert:
+                raise RuntimeError(
+                    f"SBERT model '{SBERT_MODEL_NAME}' is unavailable "
+                    f"({type(e).__name__}: {e}). Refusing to fall back to "
+                    f"hash_embed: an sbert-variant checkpoint served on "
+                    f"pseudo-embeddings generates garbage. Install/cache "
+                    f"the sentence-transformers model, or pass "
+                    f"--allow-hash-embed to accept the fallback "
+                    f"explicitly.") from e
+            import sys
+            print(f"[text_embed] WARNING: SBERT unavailable "
+                  f"({type(e).__name__}); using deterministic hash_embed "
+                  f"fallback", file=sys.stderr)
     return lambda texts: hash_embed(texts)

@@ -30,10 +30,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ru-dir")
     p.add_argument("--en-dir")
     p.add_argument("--mask-dir")
+    p.add_argument("--patch-cache", default=None, metavar="DIR",
+                   help="persistent decoded-patch cache dir (shared with "
+                        "training runs)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--allow-hash-embed", action="store_true",
+                   help="evaluate an sbert-variant checkpoint with the "
+                        "hash_embed fallback when MiniLM is unavailable "
+                        "(metrics will NOT reflect the trained model; off "
+                        "by default — missing SBERT errors loudly)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     return p
 
@@ -79,12 +87,15 @@ def main(argv=None):
         text_embed_fn = None
         if cfg.text_encoder == "sbert":
             # Same embedder the trainer used — the hash_embed fallback
-            # would silently evaluate on pseudo-embeddings.
+            # would silently evaluate on pseudo-embeddings, so it is
+            # refused unless --allow-hash-embed opts in.
             from vae_gan_mark_tpu.data.text_embed import make_text_embedder
-            text_embed_fn = make_text_embedder()
+            text_embed_fn = make_text_embedder(
+                require_sbert=not args.allow_hash_embed)
         loader = HostWarpLoader(cfg, samples, val_idx, batch_size=bs,
                                 shuffle=False, drop_last=False,
-                                seed=args.seed, text_embed_fn=text_embed_fn)
+                                seed=args.seed, text_embed_fn=text_embed_fn,
+                                cache_dir=args.patch_cache)
 
         def batches():
             yield from loader(0)

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", required=True, help="output PNG path")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--allow-hash-embed", action="store_true",
+                   help="serve an sbert-variant checkpoint with the "
+                        "deterministic hash_embed fallback when the real "
+                        "MiniLM is unavailable (output quality will NOT "
+                        "match training; off by default — missing SBERT "
+                        "errors loudly)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
     return p
 
@@ -58,10 +64,12 @@ def main(argv=None):
 
     text_embed_fn = None
     if cfg.text_encoder == "sbert":
-        # Real SBERT embeddings, as in training; the engine's hash_embed
-        # fallback is a test stub, not a serving path.
+        # Real SBERT embeddings, as in training; the hash_embed fallback
+        # is refused unless explicitly allowed (it would silently render
+        # garbage from a checkpoint trained on real embeddings).
         from vae_gan_mark_tpu.data.text_embed import make_text_embedder
-        text_embed_fn = make_text_embedder()
+        text_embed_fn = make_text_embedder(
+            require_sbert=not args.allow_hash_embed)
     engine = InferenceEngine.from_checkpoint(
         cfg, args.workdir, name=args.checkpoint,
         batch_size=args.batch_size, seed=args.seed,

@@ -66,6 +66,16 @@ def save_checkpoint(root: str, name: str, state, epoch: int, best_val: float,
             shutil.rmtree(path)
         os.replace(tmp, path)
     _sync(f"done_save_{name}_{epoch}")
+    if not main and not os.path.isdir(path):
+        # Process 0 finalized the checkpoint (the barrier above proves it)
+        # but this host cannot see it: the workdir is host-local storage.
+        # Failing loudly here beats the alternative — non-zero ranks'
+        # Orbax shards stranded in the .tmp dir and a later resume that
+        # silently returns None on some hosts, desyncing the run.
+        raise RuntimeError(
+            f"process {jax.process_index()}: checkpoint {path} is not "
+            f"visible after the save barrier — with process_count > 1 the "
+            f"workdir must live on storage shared by all hosts (NFS/GCS).")
     return path
 
 
@@ -76,7 +86,21 @@ def restore_checkpoint(root: str, name: str,
     Returns (state, meta) or None if the checkpoint doesn't exist.
     """
     path = os.path.abspath(os.path.join(root, name))
-    if not os.path.isdir(path):
+    exists = os.path.isdir(path)
+    if jax.process_count() > 1:
+        # All ranks must agree the checkpoint exists: a rank on host-local
+        # storage silently skipping resume while others restore would
+        # desync the run. (Orbax restore itself is a collective.)
+        from jax.experimental import multihost_utils
+        import numpy as np
+        all_exists = multihost_utils.process_allgather(
+            np.asarray([exists], np.int32))
+        if int(all_exists.min()) != int(all_exists.max()):
+            raise RuntimeError(
+                f"checkpoint {path} exists on some hosts but not others "
+                f"(visible here: {exists}) — the workdir must live on "
+                f"storage shared by all hosts (NFS/GCS).")
+    if not exists:
         return None
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)

@@ -249,10 +249,14 @@ class Trainer:
                     # `fake` is a global batch-sharded array whose shards
                     # span other hosts; np.asarray would raise. Use this
                     # process's addressable rows — they correspond to the
-                    # local host_batch rows fed in.
+                    # local host_batch rows fed in. addressable_shards
+                    # iteration order is not guaranteed to follow global
+                    # index, so sort by each shard's batch-dim offset.
+                    shards = sorted(
+                        fake.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
                     fake_np = np.concatenate(
-                        [np.asarray(s.data)
-                         for s in fake.addressable_shards])
+                        [np.asarray(s.data) for s in shards])
                     bsz = min(bsz, fake_np.shape[0],
                               len(host_batch["ru"]))
                 else:
