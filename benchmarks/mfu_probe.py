@@ -25,6 +25,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
