@@ -68,72 +68,21 @@ def main():
     best_ips, best_bs, best_mfu, best_tflops = 0.0, 0, None, None
     sweep = []
     for bs in batch_sizes:
-        ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
-        batch = device_batch(ds.batch(bs, 0))
-        state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-        vgg = load_vgg_params()
-        if multi_k:
-            from vae_gan_mark_tpu.train.step import jit_multi_train_step
-            step = jit_multi_train_step(cfg)
-            batch = {k: jnp.stack([v] * multi_k) for k, v in batch.items()}
-        else:
-            step = jit_train_step(cfg)
-        rng = jax.random.PRNGKey(1)
-        kl = jnp.float32(1e-3)
-
-        step_flops = None
         try:
-            # .lower().compile() populates the same executable cache the
-            # calls below hit — no extra compile.
-            cost = step.lower(state, vgg, batch, rng, kl).compile(
-                ).cost_analysis()
-            # XLA's cost analysis does not see inside scan loops, so the
-            # multi-step program would report near-zero flops; skip
-            # TFLOP/s+MFU there rather than print garbage.
-            if cost and "flops" in cost and not multi_k:
-                step_flops = float(cost["flops"])
-        except Exception as e:  # cost analysis is best-effort
-            log(f"[bench] cost_analysis unavailable: {e}")
-
-        t_compile = time.time()
-        state, m = step(state, vgg, batch, rng, kl)
-        # NOTE: fetch a value, don't just block_until_ready — the axon
-        # backend's block_until_ready returns before execution finishes;
-        # a host transfer is the only reliable completion barrier.
-        float(m["loss_G"])
-        log(f"[bench] bs={bs} compile+first step "
-            f"{time.time() - t_compile:.1f}s")
-
-        for _ in range(2):  # warmup
-            state, m = step(state, vgg, batch, rng, kl)
-        float(m["loss_G"])
-        t0 = time.time()
-        for _ in range(steps):
-            state, m = step(state, vgg, batch, rng, kl)
-        # Dataflow chains every step; fetching the last loss waits for all.
-        final_loss = float(m["loss_G"])
-        dt = time.time() - t0
-        assert final_loss == final_loss, "NaN loss in benchmark"
-        ips = steps * max(multi_k, 1) * bs / dt
-        tflops = mfu = None
-        if step_flops:
-            tflops = step_flops / (dt / steps) / 1e12
-            if peak_tflops:
-                mfu = tflops / peak_tflops
-        ms_step = dt / steps / max(multi_k, 1) * 1000
-        log(f"[bench] bs={bs}: {ips:.1f} images/sec "
-            f"({ms_step:.1f} ms/step"
-            + (f", x{multi_k} steps/dispatch" if multi_k else "")
-            + (f", {tflops:.1f} TFLOP/s" if tflops else "")
-            + (f", MFU {mfu:.2f}" if mfu else "") + ")")
-        sweep.append({"batch": bs, "images_per_sec": round(ips, 2),
-                      "ms_per_step": round(ms_step, 2),
-                      "steps_per_dispatch": multi_k or 1,
-                      "tflops_per_sec": round(tflops, 2) if tflops else None,
-                      "mfu": round(mfu, 3) if mfu else None})
-        if ips > best_ips:
-            best_ips, best_bs = ips, bs
-            best_mfu, best_tflops = mfu, tflops
+            result = _bench_one(cfg, bs, steps, multi_k, peak_tflops)
+        except Exception as e:
+            # One failing size (e.g. a backend ResourceExhausted at a large
+            # batch) must not wipe the whole capture: record the failure
+            # and keep the JSON non-empty. (Round 2 shipped a 0-byte
+            # bench_oldv JSON this way.)
+            log(f"[bench] bs={bs} FAILED: {type(e).__name__}: {e}")
+            sweep.append({"batch": bs, "error": f"{type(e).__name__}: {e}"})
+            continue
+        sweep.append(result)
+        if result["images_per_sec"] > best_ips:
+            best_ips, best_bs = result["images_per_sec"], bs
+            best_mfu = result["mfu"]
+            best_tflops = result["tflops_per_sec"]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "baseline_torch_cpu.json")
@@ -158,6 +107,81 @@ def main():
         "mfu": round(best_mfu, 3) if best_mfu else None,
         "sweep": sweep,
     }))
+
+
+def _bench_one(cfg, bs, steps, multi_k, peak_tflops):
+    """Measure one batch size; returns the sweep-entry dict."""
+    import jax
+    import jax.numpy as jnp
+    from vae_gan_mark_tpu.data.synthetic import (
+        SyntheticPatchDataset, device_batch)
+    from vae_gan_mark_tpu.models.vgg import load_vgg_params
+    from vae_gan_mark_tpu.train.state import create_train_state
+    from vae_gan_mark_tpu.train.step import jit_train_step
+
+    ds = SyntheticPatchDataset(cfg, num_samples=bs, seed=0)
+    batch = device_batch(ds.batch(bs, 0))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    vgg = load_vgg_params()
+    if multi_k:
+        from vae_gan_mark_tpu.train.step import jit_multi_train_step
+        step = jit_multi_train_step(cfg)
+        batch = {k: jnp.stack([v] * multi_k) for k, v in batch.items()}
+    else:
+        step = jit_train_step(cfg)
+    rng = jax.random.PRNGKey(1)
+    kl = jnp.float32(1e-3)
+
+    step_flops = None
+    try:
+        # .lower().compile() populates the same executable cache the
+        # calls below hit — no extra compile.
+        cost = step.lower(state, vgg, batch, rng, kl).compile(
+            ).cost_analysis()
+        # XLA's cost analysis does not see inside scan loops, so the
+        # multi-step program would report near-zero flops; skip
+        # TFLOP/s+MFU there rather than print garbage.
+        if cost and "flops" in cost and not multi_k:
+            step_flops = float(cost["flops"])
+    except Exception as e:  # cost analysis is best-effort
+        log(f"[bench] cost_analysis unavailable: {e}")
+
+    t_compile = time.time()
+    state, m = step(state, vgg, batch, rng, kl)
+    # NOTE: fetch a value, don't just block_until_ready — the axon
+    # backend's block_until_ready returns before execution finishes;
+    # a host transfer is the only reliable completion barrier.
+    float(m["loss_G"])
+    log(f"[bench] bs={bs} compile+first step "
+        f"{time.time() - t_compile:.1f}s")
+
+    for _ in range(2):  # warmup
+        state, m = step(state, vgg, batch, rng, kl)
+    float(m["loss_G"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, m = step(state, vgg, batch, rng, kl)
+    # Dataflow chains every step; fetching the last loss waits for all.
+    final_loss = float(m["loss_G"])
+    dt = time.time() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
+    ips = steps * max(multi_k, 1) * bs / dt
+    tflops = mfu = None
+    if step_flops:
+        tflops = step_flops / (dt / steps) / 1e12
+        if peak_tflops:
+            mfu = tflops / peak_tflops
+    ms_step = dt / steps / max(multi_k, 1) * 1000
+    log(f"[bench] bs={bs}: {ips:.1f} images/sec "
+        f"({ms_step:.1f} ms/step"
+        + (f", x{multi_k} steps/dispatch" if multi_k else "")
+        + (f", {tflops:.1f} TFLOP/s" if tflops else "")
+        + (f", MFU {mfu:.2f}" if mfu else "") + ")")
+    return {"batch": bs, "images_per_sec": round(ips, 2),
+            "ms_per_step": round(ms_step, 2),
+            "steps_per_dispatch": multi_k or 1,
+            "tflops_per_sec": round(tflops, 2) if tflops else None,
+            "mfu": round(mfu, 3) if mfu else None}
 
 
 def bench_inference(cfg, variant, platform, batch_sizes):

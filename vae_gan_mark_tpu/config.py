@@ -100,6 +100,12 @@ class VariantConfig:
     # --- optimization ---
     batch_size: int = 16
     epochs: int = 200
+    # Save last_checkpoint every N epochs (1 = reference semantics,
+    # vae-gan-v2.py:799-818; best_model still saves on every improvement).
+    # Raising it bounds resume granularity but amortizes the device->host
+    # fetch of the full optimizer state — significant when the chip sits
+    # behind a network tunnel rather than local PCIe.
+    save_every: int = 1
     lr_g: float = 1e-4
     lr_d: float = 1e-4
     adam_b1: float = 0.5

@@ -190,10 +190,16 @@ class PatchCache:
         ``indices``, filling misses first."""
         idxs = [int(i) for i in indices]
         self.ensure(idxs, num_workers)
-        rows = self.patches[idxs].astype(np.float32) / 255.0
-        return {"ru": np.ascontiguousarray(rows[..., 0:3]),
-                "en": np.ascontiguousarray(rows[..., 3:6]),
-                "mask": np.ascontiguousarray(rows[..., 6:7]),
+        rows = self.patches[idxs]  # one uint8 gather from the memmap
+
+        def part(sl):  # slice -> contiguous f32 in [0,1], single copy
+            a = rows[..., sl].astype(np.float32)
+            a /= np.float32(255.0)  # true divide: bit-identical to /255.0
+            return a
+
+        return {"ru": part(slice(0, 3)),
+                "en": part(slice(3, 6)),
+                "mask": part(slice(6, 7)),
                 "text": np.asarray(self.text[idxs]),
                 "raw_text": [self._row_text(i) for i in idxs]}
 

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch-cache", default=None, metavar="DIR",
                    help="persistent decoded-patch cache dir (shared with "
                         "training runs)")
+    p.add_argument("--shuffle-text", action="store_true",
+                   help="ablation: misalign text conditioning by rolling "
+                        "each batch's text rows by one — a text-using "
+                        "model's masked_l1/mark_recovery must degrade vs "
+                        "the true-text run (cf. tests/test_text_conditioning)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=None)
@@ -109,6 +114,9 @@ def main(argv=None):
     for i, batch in enumerate(batches()):
         if batch is None:
             continue
+        if args.shuffle_text:
+            batch = dict(batch)
+            batch["text"] = np.roll(np.asarray(batch["text"]), 1, axis=0)
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if k != "raw_text"}
         if state is None:

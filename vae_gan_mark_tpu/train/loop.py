@@ -336,7 +336,12 @@ class Trainer:
                 best_path = self._save("best_model", epoch)
                 self.logger.log_model_artifact(best_path, epoch + 1,
                                                self.best_val)
-            self._save("last_checkpoint", epoch)
+            # last_checkpoint cadence is configurable (cfg.save_every;
+            # default 1 = reference's every-epoch policy); the final epoch
+            # always saves so resume/eval see the completed run.
+            if ((epoch + 1) % max(cfg.save_every, 1) == 0
+                    or epoch == epochs - 1):
+                self._save("last_checkpoint", epoch)
 
             if self.profile_dir and epoch == self.epoch + 1:
                 jax.profiler.stop_trace()
