@@ -52,6 +52,26 @@ def test_eval_cli_synthetic(workdir, capsys):
     assert metrics["checkpoint_epoch"] == 3
 
 
+def test_eval_cli_shuffle_text_ablation(workdir, capsys):
+    """--shuffle-text must run the same pipeline with rolled text rows and
+    produce (slightly) different metrics — the conditioning path is live
+    even at random init, so mis-paired tokens change the output."""
+    from vae_gan_mark_tpu.eval.__main__ import main
+    args = ["--variant", "v2", "--workdir", workdir, "--synthetic",
+            "--synthetic-samples", "16"] + TINY_SET
+    main(args)
+    true_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(args + ["--shuffle-text"])
+    shuf_m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("recon", "masked_l1", "mark_recovery"):
+        assert np.isfinite(shuf_m[key]), key
+    assert shuf_m["samples"] == true_m["samples"] == 16
+    # kl is text-independent (encoder never sees text): identical.
+    assert shuf_m["kl"] == pytest.approx(true_m["kl"], rel=1e-6)
+    # The generated pixels must differ through the FiLM path.
+    assert shuf_m["recon"] != true_m["recon"]
+
+
 def test_serve_cli_renders_png(workdir, tmp_path):
     from PIL import Image
     from vae_gan_mark_tpu.serve.__main__ import main

@@ -210,6 +210,33 @@ def test_trainer_fit_synthetic(tmp_path):
     assert trainer2.epoch == 2
 
 
+def test_save_every_cadence(tmp_path):
+    """cfg.save_every throttles last_checkpoint saves (best_model still
+    saves on every improvement); the final epoch always saves."""
+    cfg = get_config("v2", **{**TINY, "batch_size": 8, "save_every": 2})
+    ds = SyntheticPatchDataset(cfg, num_samples=16, seed=0)
+
+    def data(epoch):
+        for i in range(2):
+            yield ds.batch(8, i)
+
+    trainer = Trainer(cfg, data, data, workdir=str(tmp_path),
+                      use_mesh=False)
+    calls = []
+    orig = trainer._save
+
+    def spy(name, epoch):
+        calls.append((name, epoch))
+        return orig(name, epoch)
+
+    trainer._save = spy
+    trainer.fit(epochs=3)
+    last_epochs = [e for n, e in calls if n == "last_checkpoint"]
+    # Epoch indices 0,1,2: (1+1)%2==0 -> epoch 1; epoch 2 is final.
+    assert last_epochs == [1, 2], last_epochs
+    assert os.path.isdir(os.path.join(str(tmp_path), "last_checkpoint"))
+
+
 @pytest.mark.parametrize("variant", ["lr_sh", "unet"])
 def test_remaining_variants_train_step(variant):
     cfg, ds, state, vgg = make_setup(variant)
