@@ -116,10 +116,11 @@ def test_checkpoint_resume_bitwise(tmp_path):
     save_checkpoint(str(tmp_path), "ck", state, epoch=0, best_val=1.0,
                     sched_g=PlateauState(), sched_d=PlateauState(),
                     lr_g=1e-4, lr_d=1e-4)
-    cont_state, cont_m = advance(state, 3, 2)
-
+    # Restore BEFORE the continuation donates `state`'s buffers (the step
+    # has donate_argnums=(0,); real on TPU, a no-op on CPU).
     restored, meta = restore_checkpoint(str(tmp_path), "ck", state)
     assert meta["epoch"] == 0
+    cont_state, cont_m = advance(state, 3, 2)
     res_state, res_m = advance(restored, 3, 2)
     for k in cont_m:
         assert float(cont_m[k]) == pytest.approx(float(res_m[k]), rel=1e-6), k

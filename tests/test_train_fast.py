@@ -38,6 +38,10 @@ def setup():
 
 def test_step_advances_spectral_and_bn_state(setup):
     cfg, ds, state, vgg = setup
+    # The step donates its input state (donate_argnums): on backends where
+    # donation is real (TPU) the fixture's buffers would be deleted for
+    # every later test — step a private copy.
+    state = jax.tree.map(jnp.array, state)
     step = jit_train_step(cfg)
     u_before = jax.tree.map(np.asarray, state.d_spectral)
     bs_before = jax.tree.map(np.asarray, state.g_batch_stats)
@@ -55,6 +59,7 @@ def test_step_advances_spectral_and_bn_state(setup):
 
 def test_resume_is_bitwise(setup, tmp_path):
     cfg, ds, state, vgg = setup
+    state = jax.tree.map(jnp.array, state)  # private copy (step donates)
     step = jit_train_step(cfg)  # cached from the test above
     rng = jax.random.PRNGKey(3)
 
@@ -69,8 +74,9 @@ def test_resume_is_bitwise(setup, tmp_path):
     save_checkpoint(str(tmp_path), "ck", state, epoch=0, best_val=1.0,
                     sched_g=PlateauState(), sched_d=PlateauState(),
                     lr_g=1e-4, lr_d=1e-4)
-    cont_state, cont_m = advance(state, 2, 2)
+    # Restore BEFORE the continuation step donates `state`'s buffers.
     restored, meta = restore_checkpoint(str(tmp_path), "ck", state)
+    cont_state, cont_m = advance(state, 2, 2)
     res_state, res_m = advance(restored, 2, 2)
     for k in cont_m:
         assert float(cont_m[k]) == pytest.approx(float(res_m[k]),
