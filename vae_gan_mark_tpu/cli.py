@@ -73,9 +73,20 @@ def parse_overrides(cfg_cls, pairs):
     out = {}
     for pair in pairs:
         key, _, val = pair.partition("=")
-        if key not in fields:
-            raise SystemExit(f"unknown config field: {key}")
-        current = getattr(get_config("v2"), key)
+        if "." in key:
+            # Nested dataclass field, e.g. scheduler.patience=5.
+            head, _, sub = key.partition(".")
+            if head not in fields:
+                raise SystemExit(f"unknown config field: {head}")
+            parent = getattr(get_config("v2"), head)
+            subfields = {f.name for f in dataclasses.fields(parent)}
+            if sub not in subfields:
+                raise SystemExit(f"unknown config field: {key}")
+            current = getattr(parent, sub)
+        else:
+            if key not in fields:
+                raise SystemExit(f"unknown config field: {key}")
+            current = getattr(get_config("v2"), key)
         if isinstance(current, bool):
             out[key] = val.lower() in ("1", "true", "yes")
         elif isinstance(current, int):

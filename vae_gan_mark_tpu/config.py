@@ -215,7 +215,26 @@ VARIANTS = {
 
 
 def get_config(name: str, **overrides) -> VariantConfig:
+    """Variant config with overrides. Dotted keys reach into nested
+    dataclasses: ``get_config("v2", **{"scheduler.patience": 5})`` —
+    mirroring the reference's wandb.config sweep overrides of scheduler
+    constants (vae-gan-lr-sh.py:43-47 read back at vae-gan-v2.py:857-867).
+    """
     cfg = VARIANTS[name]
     if overrides:
-        cfg = dataclasses.replace(cfg, **overrides)
+        flat, nested = {}, {}
+        for k, v in overrides.items():
+            if "." in k:
+                head, _, sub = k.partition(".")
+                nested.setdefault(head, {})[sub] = v
+            else:
+                flat[k] = v
+        for head, subs in nested.items():
+            cur = flat.get(head, getattr(cfg, head))
+            if cur is None:
+                raise ValueError(
+                    f"variant {name!r} has {head}=None; set the whole "
+                    f"object before {head}.<field> overrides")
+            flat[head] = dataclasses.replace(cur, **subs)
+        cfg = dataclasses.replace(cfg, **flat)
     return cfg.validate()
