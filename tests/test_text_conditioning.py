@@ -44,6 +44,25 @@ def test_synthetic_en_depends_on_text():
         "outside the mask EN is text-independent"
 
 
+def test_text_vocab_shared_across_seeds():
+    """text_vocab=N draws every mark from a closed N-string vocabulary that
+    is identical for train (seed s) and val (seed s+1) datasets — novel val
+    images carry known marks, so conditioning is the only route to low val
+    masked error (image->glyph memorization cannot transfer)."""
+    cfg = get_config("v2", **TINY)
+    train = SyntheticPatchDataset(cfg, 32, seed=0, text_vocab=8)
+    val = SyntheticPatchDataset(cfg, 32, seed=1, text_vocab=8)
+    v_train, v_val = set(train.texts), set(val.texts)
+    # Seed-independent vocabulary: if each seed generated its own strings
+    # the union would approach 16 distinct marks; a shared closed set
+    # keeps it at <= 8.
+    assert len(v_train | v_val) <= 8, sorted(v_train | v_val)
+    both = SyntheticPatchDataset(cfg, 256, seed=2, text_vocab=8)
+    assert len(set(both.texts)) == 8, "all 8 vocab strings appear"
+    # Images still differ across seeds (novel val patches).
+    assert np.abs(train.ru - val.ru).max() > 0.1
+
+
 def test_render_text_raster_deterministic_and_distinct():
     a1 = render_text_raster("Hello", 16, 64)
     a2 = render_text_raster("Hello", 16, 64)

@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic dataset (smoke/bench)")
     p.add_argument("--synthetic-samples", type=int, default=256)
+    p.add_argument("--synthetic-text-vocab", type=int, default=0,
+                   help="draw synthetic mark strings from a closed N-string "
+                        "vocabulary shared across seeds (0 = per-sample "
+                        "random strings); mirrors real watermark corpora "
+                        "where a limited set of marks repeats")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--loader", choices=("host", "device"), default="host",
@@ -137,10 +142,12 @@ def main(argv=None):
     if args.synthetic:
         from vae_gan_mark_tpu.data.synthetic import SyntheticPatchDataset
         train_ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
-                                         seed=args.seed)
+                                         seed=args.seed,
+                                         text_vocab=args.synthetic_text_vocab)
         val_ds = SyntheticPatchDataset(cfg, max(args.synthetic_samples // 8,
                                                 cfg.batch_size),
-                                       seed=args.seed + 1)
+                                       seed=args.seed + 1,
+                                       text_vocab=args.synthetic_text_vocab)
         steps = args.synthetic_samples // cfg.batch_size
 
         def local_rows(batch):

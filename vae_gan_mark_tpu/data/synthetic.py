@@ -59,7 +59,7 @@ def render_text_raster(text: str, mh: int, mw: int) -> np.ndarray:
 class SyntheticPatchDataset:
     def __init__(self, cfg: VariantConfig, num_samples: int = 256,
                  seed: int = 0, text_dependent: bool = True,
-                 texts: list = None):
+                 texts: list = None, text_vocab: int = 0):
         self.cfg = cfg
         self.num_samples = num_samples
         self.rng = np.random.default_rng(seed)
@@ -80,6 +80,22 @@ class SyntheticPatchDataset:
         if texts is not None:
             assert len(texts) == num_samples
             self.texts = list(texts)
+        elif text_vocab > 0:
+            # Closed mark vocabulary, shared across dataset seeds: real
+            # watermark corpora repeat a limited set of mark strings
+            # (the reference task re-renders known marks, not arbitrary
+            # text), and a shared train/val vocab makes run-scale
+            # conditioning learnable AND falsifiable — val images are
+            # novel (different seed), so low masked error on them is only
+            # reachable by reading the conditioning input, never by
+            # memorizing image->glyph pairs.
+            vocab_rng = np.random.default_rng(0x5EED + text_vocab)
+            vocab = [
+                "".join(vocab_rng.choice(printable,
+                                         size=vocab_rng.integers(3, 20)))
+                for _ in range(text_vocab)]
+            self.texts = [vocab[int(self.rng.integers(0, text_vocab))]
+                          for _ in range(num_samples)]
         else:
             self.texts = [
                 "".join(self.rng.choice(printable,

@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the true-text run (cf. tests/test_text_conditioning)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-samples", type=int, default=64)
+    p.add_argument("--synthetic-text-vocab", type=int, default=0,
+                   help="closed mark-string vocabulary size (must match "
+                        "the training run's setting)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--allow-hash-embed", action="store_true",
@@ -73,7 +76,8 @@ def main(argv=None):
 
     if args.synthetic:
         ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
-                                   seed=args.seed + 1)
+                                   seed=args.seed + 1,
+                                   text_vocab=args.synthetic_text_vocab)
         steps = max(args.synthetic_samples // bs, 1)
 
         def batches():
