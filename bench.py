@@ -230,5 +230,58 @@ def bench_inference(cfg, variant, platform, batch_sizes):
     }))
 
 
+def _supervised():
+    """Deadline-supervised run: the real bench in a child process.
+
+    A wedged axon tunnel hangs PJRT client creation inside a native call
+    that holds the GIL (measured: neither watchdog threads nor signal
+    handlers run), so no in-process timeout can save the run — and the
+    driver's own timeout would then capture nothing (the round-2 multichip
+    failure mode). The parent never touches a jax array (interpreter-start
+    plugin *registration* is hang-free; only backend *use* wedges), streams
+    the child's stderr live, and on deadline prints an honest error JSON
+    line so the round artifact always exists.
+    """
+    import subprocess
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    t0 = time.time()
+    proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=subprocess.PIPE, stderr=None, text=True,
+                            env=env)
+    try:
+        out, _ = proc.communicate(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        print(json.dumps({
+            "metric": "v2 train-step images/sec/chip (448x64, bf16)",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": f"device backend unresponsive: bench child exceeded "
+                     f"{deadline:.0f}s deadline (wedged axon tunnel?); "
+                     f"last good capture: benchmarks/bench_sweep_r03.json",
+        }))
+        return 0
+    # Re-emit only the child's final line (the JSON result); anything
+    # else it printed to stdout is noise.
+    lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+    if proc.returncode == 0 and lines:
+        print(lines[-1])
+        return 0
+    print(json.dumps({
+        "metric": "v2 train-step images/sec/chip (448x64, bf16)",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "error": f"bench child exited rc={proc.returncode} "
+                 f"after {time.time() - t0:.0f}s",
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervised())
