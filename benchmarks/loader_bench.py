@@ -92,9 +92,13 @@ def main():
     from vae_gan_mark_tpu.data.pipeline import HostWarpLoader
     from vae_gan_mark_tpu.data.device_pipeline import DeviceWarpLoader
 
+    import jax
     cfg = get_config("v2", batch_size=args.batch)
+    # The loaders are host-side work; the backend only matters for the
+    # final device_put, but record it so captures are unambiguous.
     out = {"batch": args.batch, "workers": args.workers,
-           "epochs": args.epochs}
+           "epochs": args.epochs,
+           "backend": jax.devices()[0].platform}
     with tempfile.TemporaryDirectory() as root:
         dirs = make_dataset(root, args.images, args.anns)
         samples = build_index(dirs["json"], dirs["ru"], dirs["en"],
