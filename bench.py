@@ -243,7 +243,11 @@ def _supervised():
     line so the round artifact always exists.
     """
     import subprocess
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "540"))
+    # Default sized for the worst committed-history case: a COLD axon
+    # remote compile took 486.7s (BENCH_r02 tail) before the 20 timed
+    # steps. 540s would kill a healthy cold-cache run; a wedged tunnel
+    # hangs forever, so any finite deadline still catches it.
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "900"))
     env = dict(os.environ, BENCH_CHILD="1")
     t0 = time.time()
     proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
