@@ -50,7 +50,17 @@ def main():
     steps = 20 if platform != "cpu" else 3
 
     variant = os.environ.get("BENCH_VARIANT", "v2")
-    cfg = get_config(variant)  # full 448x64, bfloat16 compute
+    # BENCH_SET=key=val,key=val applies VariantConfig overrides (same
+    # parser as the train CLI's --set) — used for perf probes like
+    # BENCH_SET=remat_encoder=True BENCH_BATCH_SIZES=256.
+    overrides = {}
+    if os.environ.get("BENCH_SET"):
+        from vae_gan_mark_tpu.cli import parse_overrides
+        from vae_gan_mark_tpu.config import VariantConfig
+        overrides = parse_overrides(
+            VariantConfig, os.environ["BENCH_SET"].split(","))
+        log(f"[bench] config overrides: {overrides}")
+    cfg = get_config(variant, **overrides)  # full 448x64, bfloat16 compute
 
     if os.environ.get("BENCH_MODE") == "infer":
         return bench_inference(cfg, variant, platform, batch_sizes)

@@ -18,12 +18,31 @@ under jit.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time override: inside ``force_scan()`` every GRULayer takes the
+# lax.scan path regardless of platform. Needed for multi-platform
+# ``jax.export`` (serve/export.py): lowering with >1 platform lowers every
+# ``platform_dependent`` branch for every platform, and the Pallas kernel
+# has no (non-interpret) CPU lowering.
+_FORCE_SCAN = contextvars.ContextVar("gru_force_scan", default=False)
+
+
+@contextlib.contextmanager
+def force_scan():
+    """Trace GRU layers with the portable ``lax.scan`` path only."""
+    token = _FORCE_SCAN.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_SCAN.reset(token)
 
 
 class GRULayer(nn.Module):
@@ -34,12 +53,16 @@ class GRULayer(nn.Module):
     direction).
 
     ``use_pallas`` (default on) routes the recurrent scan through the fused
-    Pallas kernel (ops/pallas/gru.py) when running on a real TPU and the
+    Pallas kernel (ops/pallas/gru.py) when lowering for a real TPU and the
     problem fits VMEM — same math (equivalence-tested incl. gradients via
     its custom VJP), measured 1.8x faster than the scan at the reference
-    text-encoder size. Falls back to ``lax.scan`` on other backends or
-    oversized inputs. ``pallas_interpret`` runs the kernel in interpreter
-    mode (CPU testing).
+    text-encoder size. The TPU-vs-other choice is made with
+    ``jax.lax.platform_dependent`` at *lowering* time (not trace time), so
+    one trace serves every backend — in particular multi-platform
+    ``jax.export`` artifacts (serve/export.py) lower the Pallas kernel for
+    their tpu target and the ``lax.scan`` path for cpu. Oversized inputs
+    fall back to ``lax.scan`` everywhere. ``pallas_interpret`` runs the
+    kernel in interpreter mode (CPU testing).
     """
 
     hidden: int
@@ -70,35 +93,42 @@ class GRULayer(nn.Module):
         x_proj = x_proj.reshape(b, length, h3)
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # time-major (L, B, 3H)
 
-        if self.use_pallas:
-            from vae_gan_mark_tpu.ops.pallas.gru import (
-                fits_vmem, pallas_gru_layer)
-            on_tpu = jax.devices()[0].platform == "tpu"
-            if ((on_tpu or self.pallas_interpret)
-                    and fits_vmem(length, b, self.hidden)):
-                xp = jnp.flip(x_proj, axis=0) if self.reverse else x_proj
-                outs = pallas_gru_layer(xp, w_hh, b_hh,
-                                        self.pallas_interpret)
-                if self.reverse:
-                    outs = jnp.flip(outs, axis=0)
-                return jnp.swapaxes(outs, 0, 1).astype(x.dtype)
-
         h = self.hidden
 
-        def step(carry, xp):
-            hp = jnp.dot(carry, w_hh,
-                         precision=jax.lax.Precision.HIGHEST) + b_hh
-            xr, xz, xn = xp[:, :h], xp[:, h:2 * h], xp[:, 2 * h:]
-            hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
-            r = jax.nn.sigmoid(xr + hr)
-            z = jax.nn.sigmoid(xz + hz)
-            n = jnp.tanh(xn + r * hn)
-            new_h = (1.0 - z) * n + z * carry
-            return new_h, new_h
+        def pallas_path(x_proj):
+            from vae_gan_mark_tpu.ops.pallas.gru import pallas_gru_layer
+            xp = jnp.flip(x_proj, axis=0) if self.reverse else x_proj
+            outs = pallas_gru_layer(xp, w_hh, b_hh, self.pallas_interpret)
+            if self.reverse:
+                outs = jnp.flip(outs, axis=0)
+            return jnp.swapaxes(outs, 0, 1).astype(x.dtype)
 
-        h0 = jnp.zeros((b, h), jnp.float32)
-        _, outs = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
-        return jnp.swapaxes(outs, 0, 1).astype(x.dtype)  # (B, L, H)
+        def scan_path(x_proj):
+            def step(carry, xp):
+                hp = jnp.dot(carry, w_hh,
+                             precision=jax.lax.Precision.HIGHEST) + b_hh
+                xr, xz, xn = xp[:, :h], xp[:, h:2 * h], xp[:, 2 * h:]
+                hr, hz, hn = hp[:, :h], hp[:, h:2 * h], hp[:, 2 * h:]
+                r = jax.nn.sigmoid(xr + hr)
+                z = jax.nn.sigmoid(xz + hz)
+                n = jnp.tanh(xn + r * hn)
+                new_h = (1.0 - z) * n + z * carry
+                return new_h, new_h
+
+            h0 = jnp.zeros((b, h), jnp.float32)
+            _, outs = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
+            return jnp.swapaxes(outs, 0, 1).astype(x.dtype)  # (B, L, H)
+
+        if self.use_pallas and not _FORCE_SCAN.get():
+            from vae_gan_mark_tpu.ops.pallas.gru import fits_vmem
+            if self.pallas_interpret and fits_vmem(length, b, self.hidden):
+                return pallas_path(x_proj)  # CPU interpreter-mode testing
+            if fits_vmem(length, b, self.hidden):
+                # Resolved per lowering platform: tpu gets the fused
+                # kernel, every other target the scan. No runtime branch.
+                return jax.lax.platform_dependent(
+                    x_proj, tpu=pallas_path, default=scan_path)
+        return scan_path(x_proj)
 
 
 class BiGRU(nn.Module):
