@@ -50,15 +50,22 @@ def main():
     steps = 20 if platform != "cpu" else 3
 
     variant = os.environ.get("BENCH_VARIANT", "v2")
-    # BENCH_SET=key=val,key=val applies VariantConfig overrides (same
-    # parser as the train CLI's --set) — used for perf probes like
-    # BENCH_SET=remat_encoder=True BENCH_BATCH_SIZES=256.
+    # BENCH_SET applies VariantConfig overrides through the train CLI's
+    # --set parser. Overrides are separated by ';' (or whitespace) so that
+    # tuple-valued fields keep their commas: BENCH_SET='enc_chans=8,16,24,32;
+    # remat_encoder=True'. A comma still separates overrides when no ';'
+    # is present and no value needs commas (legacy form).
     overrides = {}
     if os.environ.get("BENCH_SET"):
+        import re
         from vae_gan_mark_tpu.cli import parse_overrides
         from vae_gan_mark_tpu.config import VariantConfig
-        overrides = parse_overrides(
-            VariantConfig, os.environ["BENCH_SET"].split(","))
+        raw = os.environ["BENCH_SET"]
+        if ";" in raw or raw.split() != [raw]:
+            pairs = [p for p in re.split(r"[;\s]+", raw) if p]
+        else:
+            pairs = raw.split(",")
+        overrides = parse_overrides(VariantConfig, pairs)
         log(f"[bench] config overrides: {overrides}")
     cfg = get_config(variant, **overrides)  # full 448x64, bfloat16 compute
 

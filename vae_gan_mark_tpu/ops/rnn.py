@@ -37,7 +37,15 @@ _FORCE_SCAN = contextvars.ContextVar("gru_force_scan", default=False)
 
 @contextlib.contextmanager
 def force_scan():
-    """Trace GRU layers with the portable ``lax.scan`` path only."""
+    """Trace GRU layers with the portable ``lax.scan`` path only.
+
+    HAZARD — this is a *trace-time*, process-wide toggle and jit cache keys
+    do not include it: if a shared jitted function containing a GRULayer is
+    first traced while this context is active, its scan-only trace stays in
+    the jit cache and is reused after the context exits. Only wrap jit
+    objects that are private to the caller (serve/export.py builds its own),
+    never module-level/jit-cached entry points.
+    """
     token = _FORCE_SCAN.set(True)
     try:
         yield

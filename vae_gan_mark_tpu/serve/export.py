@@ -180,6 +180,10 @@ class ExportedGenerator:
                  texts: Sequence[str], seed: int = 0,
                  text_embed_fn=None) -> np.ndarray:
         n = ru.shape[0]
+        if n == 0:  # np.concatenate([]) would raise on an empty request
+            h = int(self.manifest["patch_h"])
+            w = int(self.manifest["patch_w"])
+            return np.zeros((0, h, w, 3), np.float32)
         texts = list(texts)
         bs = self.batch_size
         outs = []
