@@ -86,6 +86,69 @@ def test_resume_is_bitwise(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_multi_step_matches_sequential(tmp_path):
+    """Trainer(multi_step=4) over 10 batches (2 scanned dispatches + a
+    2-batch single-step leftover) must match the sequential Trainer: same
+    final params, same epoch-average metrics."""
+    from vae_gan_mark_tpu.train.loop import Trainer
+
+    cfg = get_config("v2", epochs=1, **TINY)
+    ds = SyntheticPatchDataset(cfg, num_samples=64, seed=0)
+    steps = 10
+
+    def data(epoch):
+        for i in range(steps):
+            yield ds.batch(8, i)
+
+    t_seq = Trainer(cfg, data, data, workdir=str(tmp_path / "seq"), seed=0)
+    v_seq = t_seq.validate(0)   # identical fresh init on both trainers:
+    m_seq = t_seq.train_epoch(0)  # val metrics must match near-bitwise
+    t_multi = Trainer(cfg, data, data, workdir=str(tmp_path / "multi"),
+                      seed=0, multi_step=4)
+    v_multi = t_multi.validate(0)  # 2 scanned groups + 2-batch leftover
+    m_multi = t_multi.train_epoch(0)
+
+    for k in v_seq:
+        assert v_multi[k] == pytest.approx(v_seq[k], rel=1e-5, abs=1e-6), k
+
+    # Tolerances sit above the scan-vs-unrolled fusion jitter compounded
+    # through 10 chaotic GAN steps (measured rel ~1.3e-4 on loss_G) and far
+    # below any same-step semantic difference (different batch order / RNG
+    # would move these by ~1e-1).
+    for k in ("loss_G", "loss_D", "recon", "kl"):
+        assert m_multi[k] == pytest.approx(m_seq[k], rel=2e-3, abs=1e-5), k
+    # atol sits above the worst observed single-element jitter (1.4e-4 on a
+    # ~7e-3 param after 10 steps of ~1e-4-sized updates); a semantic
+    # difference (wrong batch, wrong rng, skipped step) moves params by the
+    # update scale ~1e-3+ across the tree, not one element.
+    for a, b in zip(jax.tree.leaves(t_seq.state.g_params),
+                    jax.tree.leaves(t_multi.state.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    assert int(t_multi.state.step) == steps
+
+
+def test_recon_only_eval_step_skips_gan_and_perc():
+    """vanilla/unet validation is recon-only in the reference
+    (vae-gan.py:324-377): the eval step must not compute (or report) the
+    discriminator and perceptual losses for full_loss_val=False configs."""
+    from vae_gan_mark_tpu.train.step import jit_eval_step
+
+    cfg = get_config("unet", **TINY)
+    assert not cfg.full_loss_val
+    ds = SyntheticPatchDataset(cfg, num_samples=16, seed=0)
+    batch = device_batch(ds.batch(8, 0))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    metrics, fake = jit_eval_step(cfg)(state, load_vgg_params(), batch,
+                                       jax.random.PRNGKey(1),
+                                       jnp.float32(1e-4))
+    assert fake.shape == batch["en"].shape
+    for key in ("recon", "kl", "psnr", "masked_l1", "mark_recovery"):
+        assert np.isfinite(float(metrics[key])), key
+    for key in ("loss_G", "loss_D", "gan_g", "perc"):
+        assert key not in metrics, key
+
+
 def test_vae_loss_decreases_fast():
     """Pure-VAE objective (no GAN/perc noise): recon must drop in 30 steps."""
     cfg = get_config("v2", gan_weight=0.0, perc_weight=0.0, lr_g=2e-3,

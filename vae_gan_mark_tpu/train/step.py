@@ -137,10 +137,20 @@ def build_train_step(cfg: VariantConfig):
 
 
 def build_eval_step(cfg: VariantConfig):
-    """Full-loss validation step (vae-gan-v2.py:523-667): all five losses,
-    no parameter updates, eval-mode G (running BN stats, no dropout; the
-    reference still samples z in eval — so do we). Also returns PSNR and the
-    generated patch for image logging.
+    """Validation step, in the config's flavor (SURVEY.md §2.11):
+
+    * ``cfg.full_loss_val`` (lr_sh/v2/oldv, vae-gan-v2.py:523-667): all five
+      losses — G total, D loss, KL, GAN, perceptual — without updates.
+    * recon-only (vanilla/unet, vae-gan.py:324-377): the reference's val
+      loop computes ONLY the recon loss; mirroring its cost profile, the
+      discriminator forwards and the VGG perceptual are skipped entirely
+      (they were dead weight in the logged output anyway — the trainer
+      gates those keys on ``full_loss_val``).
+
+    Both flavors run eval-mode G (running BN stats, no dropout; the
+    reference still samples z in eval — so do we) and report PSNR +
+    the BASELINE.json round-trip metrics. Also returns the generated patch
+    for image logging.
     """
     g_model = VAEGANGenerator(cfg=cfg, train=False)
     d_model = PatchDiscriminator(update_sn=False)
@@ -158,17 +168,6 @@ def build_eval_step(cfg: VariantConfig):
             rngs={"sample": rng_sample})
         recon_l = l1_loss(fake, real)
         kl = kl_divergence(mu, logvar)
-        fake_preds = d_model.apply(
-            {"params": state.d_params, "spectral": state.d_spectral},
-            fake.astype(compute_dtype))
-        real_preds = d_model.apply(
-            {"params": state.d_params, "spectral": state.d_spectral},
-            real.astype(compute_dtype))
-        gan = hinge_g(fake_preds)
-        loss_d = 0.5 * (hinge_d_real(real_preds) + hinge_d_fake(fake_preds))
-        perc = perceptual_loss(vgg_params, fake, real, dtype=compute_dtype)
-        total = (cfg.recon_weight * recon_l + kl_weight * kl
-                 + cfg.gan_weight * gan + cfg.perc_weight * perc)
         mse = jnp.mean(jnp.square(fake - real))
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
         # BASELINE.json round-trip metrics: text-region-restricted error and
@@ -177,10 +176,25 @@ def build_eval_step(cfg: VariantConfig):
         m_l1 = masked_l1(fake, real, batch["mask"])
         recovery = mark_recovery_rate(fake, real, batch["mask"])
         metrics = {
-            "recon": recon_l, "kl": kl, "gan_g": gan, "perc": perc,
-            "loss_G": total, "loss_D": loss_d, "psnr": psnr,
+            "recon": recon_l, "kl": kl, "psnr": psnr,
             "masked_l1": m_l1, "mark_recovery": recovery,
         }
+        if cfg.full_loss_val:
+            fake_preds = d_model.apply(
+                {"params": state.d_params, "spectral": state.d_spectral},
+                fake.astype(compute_dtype))
+            real_preds = d_model.apply(
+                {"params": state.d_params, "spectral": state.d_spectral},
+                real.astype(compute_dtype))
+            gan = hinge_g(fake_preds)
+            loss_d = 0.5 * (hinge_d_real(real_preds)
+                            + hinge_d_fake(fake_preds))
+            perc = perceptual_loss(vgg_params, fake, real,
+                                   dtype=compute_dtype)
+            total = (cfg.recon_weight * recon_l + kl_weight * kl
+                     + cfg.gan_weight * gan + cfg.perc_weight * perc)
+            metrics.update({"gan_g": gan, "perc": perc,
+                            "loss_G": total, "loss_D": loss_d})
         return metrics, fake
 
     return step
@@ -213,6 +227,40 @@ def build_multi_train_step(cfg: VariantConfig):
     return step
 
 
+def build_multi_eval_step(cfg: VariantConfig):
+    """K eval-step batches in ONE dispatch via ``lax.scan``.
+
+    ``batches`` carries a leading K axis; ``idxs`` (shape (K,)) are the
+    global val-batch indices the sequential path would have folded into the
+    rng (train/loop.py folds ``batch_idx`` per batch) — so metrics equal K
+    sequential ``build_eval_step`` calls exactly. Returns per-step stacked
+    metrics (callers weight by batch size) and the FIRST batch's generated
+    patches (the only ones the epoch driver ever consumes: the <=16 logged
+    triplets come from val batch 0).
+    """
+    single = build_eval_step(cfg)
+
+    def step(state: TrainState, vgg_params, batches: Batch,
+             idxs: jnp.ndarray, rng: jax.Array, kl_weight: jnp.ndarray):
+        k = idxs.shape[0]
+        b, h, w = (batches["ru"].shape[1], batches["ru"].shape[2],
+                   batches["ru"].shape[3])
+        fake0 = jnp.zeros((b, h, w, 3), jnp.float32)
+
+        def body(carry, xs):
+            batch, local_i, idx = xs
+            metrics, fake = single(state, vgg_params, batch,
+                                   jax.random.fold_in(rng, idx), kl_weight)
+            carry = jnp.where(local_i == 0, fake.astype(jnp.float32), carry)
+            return carry, metrics
+
+        fake0, metrics = jax.lax.scan(
+            body, fake0, (batches, jnp.arange(k), idxs))
+        return metrics, fake0
+
+    return step
+
+
 def jit_train_step(cfg: VariantConfig):
     return jax.jit(build_train_step(cfg), donate_argnums=(0,))
 
@@ -226,3 +274,7 @@ def jit_multi_train_step(cfg: VariantConfig):
 
 def jit_eval_step(cfg: VariantConfig):
     return jax.jit(build_eval_step(cfg))
+
+
+def jit_multi_eval_step(cfg: VariantConfig):
+    return jax.jit(build_multi_eval_step(cfg))
