@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "vae_gan_mark_tpu.data.patch_cache")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of epoch 2 here")
+    p.add_argument("--multi-step", type=int, default=1, metavar="K",
+                   help="scan K train steps per device dispatch "
+                        "(train/step.py:build_multi_train_step) — identical "
+                        "semantics, amortizes per-dispatch host/tunnel "
+                        "latency; pick K dividing steps-per-epoch")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable the device mesh (single device)")
     # Multi-process (multi-host) execution: pass --coordinator (and
@@ -219,7 +224,8 @@ def main(argv=None):
 
     trainer = Trainer(cfg, train_data, val_data, workdir=args.workdir,
                       seed=args.seed, use_mesh=not args.no_mesh,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      multi_step=args.multi_step)
     best = trainer.fit()
     print(f"done; best val recon: {best:.4f}")
     trainer.logger.finish()

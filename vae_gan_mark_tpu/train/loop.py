@@ -42,7 +42,9 @@ from vae_gan_mark_tpu.train.schedule import (
     PlateauState, kl_weight_for_epoch, plateau_step)
 from vae_gan_mark_tpu.train.state import (
     create_train_state, get_lr, set_lr)
-from vae_gan_mark_tpu.train.step import jit_eval_step, jit_train_step
+from vae_gan_mark_tpu.train.step import (
+    jit_eval_step, jit_multi_eval_step, jit_multi_train_step,
+    jit_train_step)
 
 DataSource = Callable[[int], Iterator[dict]]
 
@@ -126,7 +128,8 @@ class Trainer:
                  seed: int = 0, use_mesh: bool = True,
                  logger: Optional[MetricsLogger] = None,
                  nan_guard: bool = True,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 multi_step: int = 1):
         self.cfg = cfg
         self.train_data = train_data
         self.val_data = val_data
@@ -156,6 +159,17 @@ class Trainer:
 
         self.train_step = jit_train_step(cfg)
         self.eval_step = jit_eval_step(cfg)
+        # K>1 scans K train steps per dispatch (train/step.py:
+        # build_multi_train_step) — semantics identical to K sequential
+        # steps; a pure dispatch-latency optimization for remote/tunneled
+        # chips where each dispatch pays a host round-trip that dwarfs the
+        # small-batch step's ~25 ms of device work.
+        self.multi_step = max(int(multi_step), 1)
+        if self.multi_step > 1:
+            assert jax.process_count() == 1, \
+                "multi-step dispatch is single-process only"
+            self.multi_train_step = jit_multi_train_step(cfg)
+            self.multi_eval_step = jit_multi_eval_step(cfg)
 
         self.epoch = 0
         self.best_val = float("inf")
@@ -183,7 +197,7 @@ class Trainer:
         print(f"[resume] from epoch {meta['epoch']} "
               f"(best_val={self.best_val:.4f})")
 
-    def _put(self, batch: dict) -> dict:
+    def _put(self, batch: dict, stacked: bool = False) -> dict:
         batch = {k: v for k, v in batch.items() if k != "raw_text"}
         if self.mesh is not None:
             if jax.process_count() > 1:
@@ -193,6 +207,13 @@ class Trainer:
                     global_batch_from_local)
                 return global_batch_from_local(
                     {k: np.asarray(v) for k, v in batch.items()}, self.mesh)
+            if stacked:
+                # (K, B, ...) stacks for multi-step dispatch: the batch dim
+                # is axis 1; the steps axis stays unsharded.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from vae_gan_mark_tpu.parallel.mesh import DATA_AXIS
+                s = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                return {k: jax.device_put(v, s) for k, v in batch.items()}
             return shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -205,15 +226,20 @@ class Trainer:
         sums, count = None, 0
         t0 = time.time()
         images = 0
-        # None batches (safe-batch semantics, vae-gan.py:400) are dropped by
-        # the prefetcher; device transfer of batch N+1 overlaps step N.
-        for batch in prefetch_to_device(self.train_data(epoch), self._put):
-            self.state, metrics = self.train_step(
-                self.state, self.vgg_params, batch, self.rng, kl_w)
-            images += batch["ru"].shape[0]
-            sums = metrics if sums is None else jax.tree.map(
-                jnp.add, sums, metrics)
-            count += 1
+        if self.multi_step > 1:
+            sums, count, images = self._train_epoch_multi(epoch, kl_w)
+        else:
+            # None batches (safe-batch semantics, vae-gan.py:400) are
+            # dropped by the prefetcher; device transfer of batch N+1
+            # overlaps step N.
+            for batch in prefetch_to_device(self.train_data(epoch),
+                                            self._put):
+                self.state, metrics = self.train_step(
+                    self.state, self.vgg_params, batch, self.rng, kl_w)
+                images += batch["ru"].shape[0]
+                sums = metrics if sums is None else jax.tree.map(
+                    jnp.add, sums, metrics)
+                count += 1
         avg = {k: float(v) / max(count, 1)
                for k, v in (sums or {}).items()}  # forces completion
         dt = time.time() - t0
@@ -225,10 +251,66 @@ class Trainer:
         avg["kl_weight"] = float(kl_w)
         return avg
 
+    def _train_epoch_multi(self, epoch: int, kl_w) -> tuple:
+        """K-steps-per-dispatch epoch body (multi_step > 1).
+
+        Groups of K host batches are stacked along a leading steps axis and
+        run through one scanned dispatch; a trailing group of < K batches
+        (epoch length not divisible by K) falls back to the single-step
+        path. Metric sums weight the scanned dispatch's per-step means by K
+        so the epoch average equals the sequential path's.
+        """
+        K = self.multi_step
+
+        def grouped():
+            buf = []
+            for b in self.train_data(epoch):
+                if b is None:
+                    continue
+                buf.append(b)
+                if len(buf) == K:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        def put_group(group):
+            n_images = sum(np.asarray(g["ru"]).shape[0] for g in group)
+            if len(group) == K:
+                keys = [k for k in group[0] if k != "raw_text"]
+                stacked = {k: np.stack([np.asarray(g[k]) for g in group])
+                           for k in keys}
+                return ("multi", self._put(stacked, stacked=True),
+                        len(group), n_images)
+            return ("single", [self._put(g) for g in group],
+                    len(group), n_images)
+
+        sums, count, images = None, 0, 0
+        for kind, payload, ksteps, n_images in prefetch_to_device(
+                grouped(), put_group):
+            if kind == "multi":
+                self.state, metrics = self.multi_train_step(
+                    self.state, self.vgg_params, payload, self.rng, kl_w)
+                weighted = jax.tree.map(lambda m: m * ksteps, metrics)
+            else:
+                weighted = None
+                for b in payload:
+                    self.state, metrics = self.train_step(
+                        self.state, self.vgg_params, b, self.rng, kl_w)
+                    weighted = metrics if weighted is None else jax.tree.map(
+                        jnp.add, weighted, metrics)
+            sums = weighted if sums is None else jax.tree.map(
+                jnp.add, sums, weighted)
+            count += ksteps
+            images += n_images
+        return sums, count, images
+
     def validate(self, epoch: int) -> dict:
         if self.val_data is None:
             return {}
         kl_w = jnp.float32(kl_weight_for_epoch(self.cfg, epoch))
+        if self.multi_step > 1:
+            return self._validate_multi(epoch, kl_w)
         sums, n_samples = None, 0
         triplets = []
         for batch_idx, batch in enumerate(self.val_data(epoch)):
@@ -278,6 +360,81 @@ class Trainer:
                for k, v in (sums or {}).items()}
         if triplets:
             self.logger.log_images(triplets, step=epoch + 1)
+        return avg
+
+    def _validate_multi(self, epoch: int, kl_w) -> dict:
+        """K-val-batches-per-dispatch flavor (multi_step > 1): metrics are
+        identical to the sequential path (same per-batch rng folds, same
+        batch-size weighting); triplets come from val batch 0 only — which
+        is also all the sequential path uses whenever batch_size >= 16.
+        Trailing groups of < K batches run through the single eval step.
+        """
+        K = self.multi_step
+        sums, n_samples = None, 0
+        fake0_np, first_host = None, None
+        group, group_start, idx = [], 0, 0
+
+        def add(weighted, n):
+            nonlocal sums, n_samples
+            sums = weighted if sums is None else jax.tree.map(
+                jnp.add, sums, weighted)
+            n_samples += n
+
+        def flush(group, start):
+            nonlocal fake0_np, first_host
+            bsz = np.asarray(group[0]["ru"]).shape[0]
+            if len(group) == K:
+                keys = [k for k in group[0] if k != "raw_text"]
+                stacked = self._put(
+                    {k: np.stack([np.asarray(g[k]) for g in group])
+                     for k in keys}, stacked=True)
+                metrics, fake0 = self.multi_eval_step(
+                    self.state, self.vgg_params, stacked,
+                    jnp.arange(start, start + K), self.rng, kl_w)
+                add(jax.tree.map(lambda m: jnp.sum(m, axis=0) * bsz,
+                                 metrics), K * bsz)
+                if start == 0:
+                    fake0_np = np.asarray(fake0)
+                    first_host = group[0]
+            else:
+                for j, b in enumerate(group):
+                    bj = np.asarray(b["ru"]).shape[0]
+                    metrics, fake = self.eval_step(
+                        self.state, self.vgg_params, self._put(b),
+                        jax.random.fold_in(self.rng, start + j), kl_w)
+                    add(jax.tree.map(lambda m: m * bj, metrics), bj)
+                    if start + j == 0:
+                        fake0_np = np.asarray(fake)
+                        first_host = b
+
+        for batch in self.val_data(epoch):
+            if batch is None:
+                continue
+            group.append(batch)
+            idx += 1
+            if len(group) == K:
+                flush(group, group_start)
+                group, group_start = [], idx
+        if group:
+            flush(group, group_start)
+
+        avg = {k: float(v) / max(n_samples, 1)
+               for k, v in (sums or {}).items()}
+        if fake0_np is not None and self.is_main:
+            triplets = []
+            raw_texts = first_host.get("raw_text")
+            for i in range(min(fake0_np.shape[0], 16)):
+                if raw_texts is not None:
+                    t = raw_texts[i]
+                    label = t[:50] + "..." if len(t) > 50 else t
+                    caption = f"Epoch {epoch} | Target: '{label}'"
+                else:
+                    caption = f"Epoch {epoch}"
+                triplets.append((np.asarray(first_host["ru"][i]),
+                                 np.asarray(first_host["en"][i]),
+                                 fake0_np[i], caption))
+            if triplets:
+                self.logger.log_images(triplets, step=epoch + 1)
         return avg
 
     # ------------------------------------------------------------------
