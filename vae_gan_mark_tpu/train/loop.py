@@ -49,6 +49,16 @@ from vae_gan_mark_tpu.train.step import (
 DataSource = Callable[[int], Iterator[dict]]
 
 
+def _stack_batches(group: list) -> dict:
+    """Stack K batch dicts along a new leading steps axis. Device-resident
+    batches (jax arrays, data/device_synthetic.py) stack on-device —
+    no host round-trip; host batches stack in numpy."""
+    keys = [k for k in group[0] if k != "raw_text"]
+    if isinstance(group[0]["ru"], jax.Array):
+        return {k: jnp.stack([g[k] for g in group]) for k in keys}
+    return {k: np.stack([np.asarray(g[k]) for g in group]) for k in keys}
+
+
 class _NullLogger:
     """Logger stand-in for non-primary processes in multi-process runs."""
 
@@ -275,11 +285,9 @@ class Trainer:
                 yield buf
 
         def put_group(group):
-            n_images = sum(np.asarray(g["ru"]).shape[0] for g in group)
+            n_images = sum(g["ru"].shape[0] for g in group)
             if len(group) == K:
-                keys = [k for k in group[0] if k != "raw_text"]
-                stacked = {k: np.stack([np.asarray(g[k]) for g in group])
-                           for k in keys}
+                stacked = _stack_batches(group)
                 return ("multi", self._put(stacked, stacked=True),
                         len(group), n_images)
             return ("single", [self._put(g) for g in group],
@@ -350,9 +358,9 @@ class Trainer:
                     if raw_texts is not None:
                         t = raw_texts[i]
                         label = t[:50] + "..." if len(t) > 50 else t
-                        caption = f"Epoch {epoch} | Target: '{label}'"
+                        caption = f"Epoch {epoch + 1} | Target: '{label}'"
                     else:
-                        caption = f"Epoch {epoch}"
+                        caption = f"Epoch {epoch + 1}"
                     triplets.append((np.asarray(host_batch["ru"][i]),
                                      np.asarray(host_batch["en"][i]),
                                      fake_np[i], caption))
@@ -382,12 +390,9 @@ class Trainer:
 
         def flush(group, start):
             nonlocal fake0_np, first_host
-            bsz = np.asarray(group[0]["ru"]).shape[0]
+            bsz = group[0]["ru"].shape[0]
             if len(group) == K:
-                keys = [k for k in group[0] if k != "raw_text"]
-                stacked = self._put(
-                    {k: np.stack([np.asarray(g[k]) for g in group])
-                     for k in keys}, stacked=True)
+                stacked = self._put(_stack_batches(group), stacked=True)
                 metrics, fake0 = self.multi_eval_step(
                     self.state, self.vgg_params, stacked,
                     jnp.arange(start, start + K), self.rng, kl_w)
@@ -427,9 +432,9 @@ class Trainer:
                 if raw_texts is not None:
                     t = raw_texts[i]
                     label = t[:50] + "..." if len(t) > 50 else t
-                    caption = f"Epoch {epoch} | Target: '{label}'"
+                    caption = f"Epoch {epoch + 1} | Target: '{label}'"
                 else:
-                    caption = f"Epoch {epoch}"
+                    caption = f"Epoch {epoch + 1}"
                 triplets.append((np.asarray(first_host["ru"][i]),
                                  np.asarray(first_host["en"][i]),
                                  fake0_np[i], caption))
