@@ -72,6 +72,38 @@ def test_render_text_raster_deterministic_and_distinct():
     assert a1.sum() > 0 and np.abs(a1 - b).max() > 0.5
 
 
+def test_text_tile_task_semantics():
+    """Watermark-style tiled task (text_tile=True): the string is rastered
+    at fixed absolute positions, visible only inside the mask, glyphs cover
+    a run-scale-demonstrable fraction of the masked region, and the pattern
+    is text-dependent + deterministic."""
+    from vae_gan_mark_tpu.data.synthetic import render_text_tiled
+
+    cfg = get_config("v2", **TINY)
+    n = 4
+    a = SyntheticPatchDataset(cfg, n, seed=0, texts=["AAAA"] * n,
+                              text_tile=True)
+    b = SyntheticPatchDataset(cfg, n, seed=0, texts=["xoxo"] * n,
+                              text_tile=True)
+    np.testing.assert_array_equal(a.ru, b.ru)
+    diff = np.abs(a.en - b.en)
+    assert (diff * a.mask).max() > 0.5, "EN must depend on the text"
+    assert (diff * (1 - a.mask)).max() == 0.0, "mask gates visibility"
+    # Determinism + absolute positioning: the raster ignores the sample.
+    r1 = render_text_tiled("Mark", cfg.patch_h, cfg.patch_w)
+    r2 = render_text_tiled("Mark", cfg.patch_h, cfg.patch_w)
+    np.testing.assert_array_equal(r1, r2)
+    assert r1.shape == (cfg.patch_h, cfg.patch_w)
+    # Tiling covers the canvas: glyphs present in every 16px row band and
+    # in the right half (the single-line raster would leave both empty).
+    assert all((r1[y:y + 16] > 0.1).any() for y in range(0, cfg.patch_h, 16))
+    assert (r1[:, cfg.patch_w // 2:] > 0.1).any()
+    # Coverage: a meaningful fraction of masked pixels are glyph pixels.
+    g = render_text_tiled(a.texts[0], cfg.patch_h, cfg.patch_w)[..., None]
+    cov = float(((g * a.mask[0]) > 0.1).sum() / a.mask[0].sum())
+    assert cov > 0.10, cov
+
+
 def test_tokens_causally_affect_generator_output():
     """At init, with identical image/mask/noise, different token ids must
     change the generated patch — the conditioning path is live."""

@@ -37,6 +37,36 @@ def device_batch(batch: dict) -> dict:
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "raw_text"}
 
 
+def render_text_tiled(text: str, h: int, w: int,
+                      cell_h: int = 16) -> np.ndarray:
+    """Rasterize ``text`` tiled across an (h, w) canvas, watermark-style.
+
+    Rows every ``cell_h`` pixels, each row the string repeated at a fixed
+    horizontal stride, odd rows phase-shifted by half a stride — the fixed
+    absolute-position tiling of a real watermark pattern (the reference's
+    marks repeat across the creative; visibility is then gated by the
+    sample's mask). Deterministic; returns float32 alpha in [0, 1].
+    """
+    from PIL import Image, ImageDraw, ImageFont
+    size = max(6, int(cell_h * 0.75))
+    try:
+        font = ImageFont.load_default(size=size)
+    except TypeError:  # older Pillow: fixed-size raster font
+        font = ImageFont.load_default()
+    img = Image.new("L", (w, h), 0)
+    d = ImageDraw.Draw(img)
+    try:
+        stride = max(int(d.textlength(text, font=font)), 8) + 12
+    except AttributeError:
+        stride = 7 * max(len(text), 1) + 12
+    for r, y in enumerate(range(0, h, cell_h)):
+        x = -(stride // 2) if r % 2 else 0
+        while x < w:
+            d.text((x, y), text, font=font, fill=255)
+            x += stride
+    return np.asarray(img, np.float32) / 255.0
+
+
 def render_text_raster(text: str, mh: int, mw: int) -> np.ndarray:
     """Rasterize ``text`` into a (mh, mw) float32 alpha map in [0, 1].
 
@@ -59,7 +89,8 @@ def render_text_raster(text: str, mh: int, mw: int) -> np.ndarray:
 class SyntheticPatchDataset:
     def __init__(self, cfg: VariantConfig, num_samples: int = 256,
                  seed: int = 0, text_dependent: bool = True,
-                 texts: list = None, text_vocab: int = 0):
+                 texts: list = None, text_vocab: int = 0,
+                 text_tile: bool = False):
         self.cfg = cfg
         self.num_samples = num_samples
         self.rng = np.random.default_rng(seed)
@@ -105,7 +136,23 @@ class SyntheticPatchDataset:
         # plus — when text_dependent — the target text rendered in white
         # inside the mask so the GT actually depends on the conditioning.
         self.en = np.where(self.mask > 0, self.ru[..., [1, 2, 0]], self.ru)
-        if text_dependent:
+        if text_dependent and text_tile:
+            # Watermark-style task: the string is tiled at fixed ABSOLUTE
+            # positions across the whole patch (render_text_tiled) and made
+            # visible only inside the mask. Glyph pixels then cover ~25-35%
+            # of the masked region (vs ~5% for the single boxed line below),
+            # so conditioning on the right string dominates masked error —
+            # the run-scale demonstrability fix motivated by the
+            # examples/vocab_run ablation analysis. Rasters are cached per
+            # unique string (closed vocabularies reuse a handful).
+            rasters = {}
+            for i in range(num_samples):
+                t = self.texts[i]
+                if t not in rasters:
+                    rasters[t] = render_text_tiled(t, h, w)[..., None]
+                g = rasters[t] * self.mask[i]
+                self.en[i] = self.en[i] * (1.0 - g) + g
+        elif text_dependent:
             mh, mw = h // 2, w // 2
             for i, (y0, x0) in enumerate(boxes):
                 g = render_text_raster(self.texts[i], mh, mw)[..., None]

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-text-vocab", type=int, default=0,
                    help="closed mark-string vocabulary size (must match "
                         "the training run's setting)")
+    p.add_argument("--synthetic-text-tile", action="store_true",
+                   help="watermark-style tiled synthetic task (must match "
+                        "the training run's setting)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--allow-hash-embed", action="store_true",
@@ -77,7 +80,8 @@ def main(argv=None):
     if args.synthetic:
         ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
                                    seed=args.seed + 1,
-                                   text_vocab=args.synthetic_text_vocab)
+                                   text_vocab=args.synthetic_text_vocab,
+                                   text_tile=args.synthetic_text_tile)
         steps = max(args.synthetic_samples // bs, 1)
 
         def batches():
