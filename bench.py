@@ -41,12 +41,14 @@ def main():
         batch_sizes = tuple(int(x) for x in
                             os.environ["BENCH_BATCH_SIZES"].split(","))
     else:
-        # One compile per batch size and the axon remote compile takes
-        # minutes regardless of the persistent cache, so the default is the
-        # single best-throughput size from the captured sweep (the full
-        # sweep result ships in the JSON's "sweep" field when
-        # BENCH_BATCH_SIZES lists several sizes).
-        batch_sizes = (128,) if platform != "cpu" else (16,)
+        # Default = best-throughput size (128, from the committed sweeps)
+        # plus the reference's training scale 16 (vae-gan-v2.py:27) so the
+        # round artifact carries both points. The persistent .jax_cache in
+        # the working tree keeps the second compile cheap; a cold-cache
+        # worst case is still inside the 900 s supervisor deadline, and a
+        # per-size failure is isolated (recorded in "sweep", best still
+        # reported).
+        batch_sizes = (128, 16) if platform != "cpu" else (16,)
     steps = 20 if platform != "cpu" else 3
 
     variant = os.environ.get("BENCH_VARIANT", "v2")
