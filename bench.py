@@ -153,14 +153,22 @@ def _bench_one(cfg, bs, steps, multi_k, peak_tflops):
 
     step_flops = None
     try:
-        # .lower().compile() populates the same executable cache the
-        # calls below hit — no extra compile.
-        cost = step.lower(state, vgg, batch, rng, kl).compile(
-            ).cost_analysis()
-        # XLA's cost analysis does not see inside scan loops, so the
-        # multi-step program would report near-zero flops; skip
-        # TFLOP/s+MFU there rather than print garbage.
-        if cost and "flops" in cost and not multi_k:
+        if multi_k:
+            # XLA's cost analysis does not see inside scan loops, so the
+            # multi-step program reports near-zero flops; take per-step
+            # flops from the single-step lowering instead (its executable
+            # is in the persistent .jax_cache after any single-step run,
+            # so this is an AOT compile-cache hit, not a fresh compile).
+            single = jit_train_step(cfg)
+            one = {k: v[0] for k, v in batch.items()}
+            cost = single.lower(state, vgg, one, rng, kl).compile(
+                ).cost_analysis()
+        else:
+            # .lower().compile() populates the same executable cache the
+            # calls below hit — no extra compile.
+            cost = step.lower(state, vgg, batch, rng, kl).compile(
+                ).cost_analysis()
+        if cost and "flops" in cost:
             step_flops = float(cost["flops"])
     except Exception as e:  # cost analysis is best-effort
         log(f"[bench] cost_analysis unavailable: {e}")
@@ -187,7 +195,9 @@ def _bench_one(cfg, bs, steps, multi_k, peak_tflops):
     ips = steps * max(multi_k, 1) * bs / dt
     tflops = mfu = None
     if step_flops:
-        tflops = step_flops / (dt / steps) / 1e12
+        # step_flops is per train step; each timed dispatch ran
+        # max(multi_k, 1) steps.
+        tflops = step_flops * max(multi_k, 1) / (dt / steps) / 1e12
         if peak_tflops:
             mfu = tflops / peak_tflops
     ms_step = dt / steps / max(multi_k, 1) * 1000
