@@ -14,20 +14,21 @@ BENCH_VARIANT=lr_sh BENCH_BATCH_SIZES=128,16 python bench.py \
 BENCH_VARIANT=unet BENCH_BATCH_SIZES=128,16 python bench.py \
   > benchmarks/bench_unet_r04.json 2> /tmp/bench_unet.log
 
-# 2. oldv r04: batch sweep + a multi-step capture at the reference scale
-#    (56.75 ms/step at bs=16 means dispatch latency is a real fraction).
+# 2. oldv r04: batch sweep (VERDICT #3).
 BENCH_VARIANT=oldv BENCH_BATCH_SIZES=128,64,256 python bench.py \
   > benchmarks/bench_oldv_r04.json 2> /tmp/bench_oldv.log
-BENCH_VARIANT=oldv BENCH_BATCH_SIZES=16,64 BENCH_MULTISTEP=8 python bench.py \
-  > benchmarks/bench_oldv_multistep_r04.json 2> /tmp/bench_oldv_ms.log
 
-# 3. v2 multi-step probe (does amortizing the tunnel dispatch move the
-#    headline?): bs=128 and bs=16.
-BENCH_BATCH_SIZES=128,16 BENCH_MULTISTEP=8 python bench.py \
-  > benchmarks/bench_v2_multistep_r04.json 2> /tmp/bench_v2_ms.log
-
-# 4. Input-pipeline bench on the real TPU (VERDICT #6).
+# 3. Input-pipeline bench on the real TPU (VERDICT #6).
 python benchmarks/loader_bench.py --images 24 --anns 8 --epochs 3 \
   --out benchmarks/loader_bench_r04.json > /tmp/loader_bench.log 2>&1
+
+# 4. Multi-step probes (extras — last so a budget cutoff loses these first).
+#    oldv at the reference scale: 56.75 ms/step at bs=16 means dispatch
+#    latency is a real fraction. v2: does amortizing the tunnel dispatch
+#    move the headline?
+BENCH_VARIANT=oldv BENCH_BATCH_SIZES=16,64 BENCH_MULTISTEP=8 python bench.py \
+  > benchmarks/bench_oldv_multistep_r04.json 2> /tmp/bench_oldv_ms.log
+BENCH_BATCH_SIZES=128,16 BENCH_MULTISTEP=8 python bench.py \
+  > benchmarks/bench_v2_multistep_r04.json 2> /tmp/bench_v2_ms.log
 
 echo ALLDONE
