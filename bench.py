@@ -115,6 +115,21 @@ def main():
                          f"{base['images_per_sec']:.3f} img/s")
     log(f"[bench] baseline: {baseline_note}")
 
+    if not any("images_per_sec" in s for s in sweep):
+        # Every size failed (e.g. RESOURCE_EXHAUSTED under chip contention,
+        # the bench_oldv_r04 case). Emit null, not 0.0 — a failure must not
+        # read as a measured throughput downstream.
+        print(json.dumps({
+            "metric": f"{variant} train-step images/sec/chip "
+                      f"(448x64, bf16, {platform})",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "error": "all batch sizes failed; see sweep",
+            "sweep": sweep,
+        }))
+        return
+
     print(json.dumps({
         "metric": f"{variant} train-step images/sec/chip "
                   f"(448x64, bf16, batch {best_bs}, {platform}; "
@@ -288,9 +303,9 @@ def _supervised():
         proc.kill()
         print(json.dumps({
             "metric": "v2 train-step images/sec/chip (448x64, bf16)",
-            "value": 0.0,
+            "value": None,
             "unit": "images/sec",
-            "vs_baseline": 0.0,
+            "vs_baseline": None,
             "error": f"device backend unresponsive: bench child exceeded "
                      f"{deadline:.0f}s deadline (wedged axon tunnel?); "
                      f"last good capture: benchmarks/bench_sweep_r03.json",
@@ -304,9 +319,9 @@ def _supervised():
         return 0
     print(json.dumps({
         "metric": "v2 train-step images/sec/chip (448x64, bf16)",
-        "value": 0.0,
+        "value": None,
         "unit": "images/sec",
-        "vs_baseline": 0.0,
+        "vs_baseline": None,
         "error": f"bench child exited rc={proc.returncode} "
                  f"after {time.time() - t0:.0f}s",
     }))

@@ -27,7 +27,12 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# Repo root (for the package) AND this bench dir (for loader_bench) — the
+# implicit sys.path[0] only covers the latter when invoked as
+# `python benchmarks/e2e_train_bench.py` (advisor r04).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+sys.path.insert(0, _HERE)
 
 from loader_bench import make_dataset  # noqa: E402  (same bench dir)
 
@@ -40,7 +45,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "e2e_train_bench_r04.json"))
+        os.path.dirname(__file__), "e2e_train_bench_r05.json"))
     args = ap.parse_args()
 
     import jax
@@ -86,7 +91,26 @@ def main():
                         "images_per_sec": round(
                             row["train/images_per_sec"], 2),
                     })
-        steady = epochs[-1]["images_per_sec"] if epochs else 0.0
+        if not epochs or epochs[-1]["images_per_sec"] <= 0.0:
+            # drop_last=True at a large batch with few samples can yield
+            # zero train batches — that must not read as a measurement.
+            raise SystemExit(
+                f"no usable epochs in {metrics_path}: {epochs} "
+                f"(images={args.images} x anns={args.anns} too small for "
+                f"batch {args.batch}?)")
+        steady = epochs[-1]["images_per_sec"]
+
+        # Comparator: the latest committed isolated-step capture, read at
+        # run time so it cannot drift from the bench artifacts (advisor
+        # r04); falls back to None if the driver artifact is absent.
+        isolated = None
+        for name in sorted(os.listdir(os.path.join(_HERE, ".."))):
+            if name.startswith("BENCH_r") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(_HERE, "..", name)) as f:
+                        isolated = json.load(f)["parsed"]["value"]
+                except Exception:
+                    pass
         out = {
             "what": "end-to-end train throughput: on-disk dataset -> "
                     "host loader (+patch cache) -> prefetch -> jitted v2 "
@@ -95,10 +119,9 @@ def main():
             "batch": args.batch,
             "workers": args.workers,
             "per_epoch": epochs,
-            "cold_epoch_images_per_sec": (epochs[0]["images_per_sec"]
-                                          if epochs else 0.0),
+            "cold_epoch_images_per_sec": epochs[0]["images_per_sec"],
             "steady_state_images_per_sec": steady,
-            "isolated_step_images_per_sec_r03": 539.1,
+            "isolated_step_images_per_sec_latest_committed": isolated,
             "wall_seconds": round(train_s, 1),
         }
     with open(args.out, "w") as f:

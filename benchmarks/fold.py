@@ -23,7 +23,18 @@ faster at f=2 (pack_probe_r04.json).
 and dtype identical to ``nn.Conv`` — and packs it at trace time, so the
 parameter tree, checkpoints, and the torch weight porters are unchanged
 whether folding is enabled or not. Gradients flow through the pack (a
-scatter of slices), making the weight update exactly the unfolded one.
+scatter of slices), making the weight update equivalent to the unfolded one
+up to f32 accumulation-order rounding.
+
+STATUS — recorded rejected optimization (round 5). Through round 4 this was
+wired into the models as the ``lane_fold`` config knob; the end-to-end probe
+(benchmarks/fold_e2e_probe_r04.json) showed the microbench win does not
+transfer to the full train step (288.0 img/s folded vs 290.4 unfolded on
+oldv: XLA fuses those convs with their BN/ReLU neighbours and picks
+different layouts in context), so the knob was removed from the production
+config surface and the machinery lives here with the other probes
+(tconv_probe, pallas_conv_probe). Exactness is still pinned by
+tests/test_fold.py.
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax.linen import dtypes as flax_dtypes
 
-from vae_gan_mark_tpu.ops.precision import precision_for
+from vae_gan_mark_tpu.ops.precision import precision_for  # noqa: E402
 
 
 def fold_width(x: jnp.ndarray, f: int) -> jnp.ndarray:

@@ -6,7 +6,7 @@ full-resolution low-channel stages (benchmarks/mfu_probe_r03.json measures
 0.655 reachable with filled lanes vs 0.491 at the reference's 64 channels;
 the reference architecture is vae-gan-v2.py:152-187 stage 1). XLA's conv
 emitter contracts over the 64 input channels — half the MXU's 128 lanes —
-and the width-fold repack (ops/fold.py) that fills lanes in XLA pays f-times
+and the width-fold repack (benchmarks/fold.py) that fills lanes in XLA pays f-times
 structural-zero FLOPs and did not transfer end-to-end
 (benchmarks/fold_e2e_probe_r04.json).
 

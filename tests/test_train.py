@@ -270,8 +270,14 @@ def test_full_loss_val_flavor():
         last = lines[-1]
         for key in ("val/recon_loss", "val/generator_loss",
                     "val/discriminator_loss", "val/kl_loss",
+                    "val/kl_loss_raw", "val/kl_loss_weighted",
                     "val/gan_loss_g", "val/perceptual_loss", "val/psnr"):
             assert key in last, key
+        # Reference semantics (vae-gan-v2.py:652-653): weighted = raw KL
+        # scaled by the epoch's (annealed) KL weight.
+        assert last["val/kl_loss_raw"] == last["val/kl_loss"]
+        assert last["val/kl_loss_weighted"] == pytest.approx(
+            last["val/kl_loss_raw"] * last["train_params/current_kl_weight"])
 
 
 def test_scheduler_reduces_lr_on_plateau_in_trainer():

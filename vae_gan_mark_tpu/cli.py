@@ -50,13 +50,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "pixels are glyphs vs ~5%% for the boxed single "
                         "line) — makes text conditioning dominate masked "
                         "error at run scale")
+    p.add_argument("--synthetic-structured", action="store_true",
+                   help="smooth upsampled-noise backgrounds (the disk-run "
+                        "creative look) instead of per-pixel noise — gives "
+                        "the discriminator a matchable distribution so the "
+                        "hinge-GAN term carries signal instead of swamping "
+                        "glyph learning (examples/vocab_run analysis)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--loader", choices=("host", "device"), default="host",
                    help="real-data input path: 'host' warps with cv2/native "
-                        "on CPU workers; 'device' decodes+bucket-crops on "
-                        "host and runs the perspective warp inside a jitted "
-                        "TPU kernel (data/device_pipeline.py)")
+                        "on CPU workers (use with --patch-cache for "
+                        "steady-state memory-speed epochs); 'device' "
+                        "decodes+bucket-crops on host and runs the "
+                        "perspective warp inside a jitted TPU kernel "
+                        "(data/device_pipeline.py) — EXPERIMENTAL: loses "
+                        "~3 orders of magnitude on network-tunneled chips "
+                        "(examples/disk_run/device_loader_epoch.json, "
+                        "~1 img/s); only a candidate win on TPU-VM-local "
+                        "many-core hosts, see DESIGN.md")
     p.add_argument("--patch-cache", default=None, metavar="DIR",
                    help="persistent decoded-patch cache dir (host loader "
                         "only): decode+warp each sample once, stream later "
@@ -161,12 +173,14 @@ def main(argv=None):
         train_ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
                                          seed=args.seed,
                                          text_vocab=args.synthetic_text_vocab,
-                                         text_tile=args.synthetic_text_tile)
+                                         text_tile=args.synthetic_text_tile,
+                                         structured=args.synthetic_structured)
         val_ds = SyntheticPatchDataset(cfg, max(args.synthetic_samples // 8,
                                                 cfg.batch_size),
                                        seed=args.seed + 1,
                                        text_vocab=args.synthetic_text_vocab,
-                                       text_tile=args.synthetic_text_tile)
+                                       text_tile=args.synthetic_text_tile,
+                                       structured=args.synthetic_structured)
         steps = args.synthetic_samples // cfg.batch_size
 
         # Device-resident gathers (data/device_synthetic.py) replace the
@@ -210,6 +224,13 @@ def main(argv=None):
                              "required without --synthetic")
         from vae_gan_mark_tpu.data.index import build_index, grouped_split
         if args.loader == "device":
+            print("[warn] --loader device is experimental: on a "
+                  "network-tunneled chip it measured ~1 img/s vs the host "
+                  "loader's 1209 img/s cached steady state "
+                  "(examples/disk_run/device_loader_epoch.json). Use "
+                  "--loader host --patch-cache DIR unless the host is a "
+                  "many-core TPU VM with a local PCIe link.",
+                  flush=True)
             from vae_gan_mark_tpu.data.device_pipeline import (
                 DeviceWarpLoader as Loader)
         else:

@@ -128,14 +128,6 @@ class VariantConfig:
     # Exact row-factored SpatialFiLM predictor for height-1 text maps
     # (unet/v2): ~21x fewer FiLM FLOPs, bit-identical math (see ops/film.py).
     fast_film: bool = True
-    # Per-U-Net-level width-fold factors (shallow->deep) for the 3x3 stride-1
-    # convs of that level's encoder/decoder DoubleConvBlocks: an EXACT
-    # width->channel repack that fills MXU lanes at the full-resolution
-    # small-channel stages (ops/fold.py; measured in
-    # benchmarks/pack_probe_r04.json). () disables; levels beyond the tuple
-    # (and widths not divisible by the factor) run unfolded.
-    lane_fold: Tuple[int, ...] = ()
-
     # --- data ---
     val_split: float = 0.1
     split_seed: int = 42

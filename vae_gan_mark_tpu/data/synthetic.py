@@ -86,17 +86,43 @@ def render_text_raster(text: str, mh: int, mw: int) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
+def smooth_backgrounds(rng: np.random.Generator, n: int, h: int,
+                       w: int, cell: int = 16) -> np.ndarray:
+    """Low-res noise bilinearly upsampled to (n, h, w, 3) in [0, 1].
+
+    The look of the disk-run creatives (examples/disk_run/
+    make_disk_dataset.py:83-86): smooth color fields rather than per-pixel
+    noise. Per-pixel noise makes the PatchGAN discriminator's job degenerate
+    — no generator output can match iid-noise statistics, so D wins for
+    free and the hinge gradient swamps glyph learning (measured in
+    examples/vocab_run/attempt2_tiled_gan). Smooth backgrounds are
+    matchable, so the adversarial game carries signal.
+    """
+    from PIL import Image
+    coarse = rng.uniform(40, 215, (n, max(h // cell, 2),
+                                   max(w // cell, 2), 3))
+    out = np.empty((n, h, w, 3), np.float32)
+    for i in range(n):
+        img = Image.fromarray(coarse[i].astype(np.uint8))
+        out[i] = np.asarray(img.resize((w, h), Image.BILINEAR),
+                            np.float32) / 255.0
+    return out
+
+
 class SyntheticPatchDataset:
     def __init__(self, cfg: VariantConfig, num_samples: int = 256,
                  seed: int = 0, text_dependent: bool = True,
                  texts: list = None, text_vocab: int = 0,
-                 text_tile: bool = False):
+                 text_tile: bool = False, structured: bool = False):
         self.cfg = cfg
         self.num_samples = num_samples
         self.rng = np.random.default_rng(seed)
         h, w = cfg.patch_h, cfg.patch_w
-        self.ru = self.rng.uniform(
-            0, 1, (num_samples, h, w, 3)).astype(np.float32)
+        if structured:
+            self.ru = smooth_backgrounds(self.rng, num_samples, h, w)
+        else:
+            self.ru = self.rng.uniform(
+                0, 1, (num_samples, h, w, 3)).astype(np.float32)
         # Rectangular "text region" masks.
         self.mask = np.zeros((num_samples, h, w, 1), np.float32)
         boxes = []

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-text-tile", action="store_true",
                    help="watermark-style tiled synthetic task (must match "
                         "the training run's setting)")
+    p.add_argument("--synthetic-structured", action="store_true",
+                   help="smooth structured backgrounds (must match the "
+                        "training run's setting)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--allow-hash-embed", action="store_true",
@@ -81,7 +84,8 @@ def main(argv=None):
         ds = SyntheticPatchDataset(cfg, args.synthetic_samples,
                                    seed=args.seed + 1,
                                    text_vocab=args.synthetic_text_vocab,
-                                   text_tile=args.synthetic_text_tile)
+                                   text_tile=args.synthetic_text_tile,
+                                   structured=args.synthetic_structured)
         steps = max(args.synthetic_samples // bs, 1)
 
         def batches():

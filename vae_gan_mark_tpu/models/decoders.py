@@ -17,7 +17,6 @@ from flax import linen as nn
 from vae_gan_mark_tpu.ops.convblocks import (
     DoubleConvBlock, TConv, TConvBNRelu)
 from vae_gan_mark_tpu.ops.film import GatedSkip, SpatialFiLM
-from vae_gan_mark_tpu.ops.fold import fold_factor_for
 from vae_gan_mark_tpu.ops.precision import precision_for
 from vae_gan_mark_tpu.ops.resize import interpolate_bilinear
 
@@ -79,9 +78,6 @@ class UNetStyleDecoder(nn.Module):
     fast_film: bool = True
     train: bool = True
     dtype: Any = jnp.float32
-    # Per-level width-fold factors (shallow->deep, same indexing as the
-    # encoder's) for the lane-starved full-res stages; see ops/fold.py.
-    folds: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, z, text_map, skips):
@@ -109,11 +105,7 @@ class UNetStyleDecoder(nn.Module):
                                 train=self.train, dtype=self.dtype,
                                 fast=self.fast_film,
                                 name=f"film{i}")(x, text_map)
-            level = len(self.skip_chans) - 1 - i
-            x = DoubleConvBlock(
-                c, train=self.train, dtype=self.dtype,
-                fold=fold_factor_for(tuple(self.folds), level,
-                                     x.shape[2]))(x)
+            x = DoubleConvBlock(c, train=self.train, dtype=self.dtype)(x)
 
         x = nn.Conv(self.out_ch, (1, 1), padding="VALID", dtype=self.dtype,
                     precision=precision_for(self.dtype),

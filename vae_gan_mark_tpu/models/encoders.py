@@ -14,7 +14,6 @@ from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.convblocks import (
     ConvBNRelu, DoubleConvBlock, max_pool_2x2)
-from vae_gan_mark_tpu.ops.fold import fold_factor_for
 from vae_gan_mark_tpu.ops.precision import precision_for
 
 
@@ -71,17 +70,12 @@ class UNetEncoder(nn.Module):
     z_ch: int = 128
     train: bool = True
     dtype: Any = jnp.float32
-    # Per-level width-fold factors (shallow->deep) for the lane-starved
-    # full-res stages; exact repack, see ops/fold.py. () disables.
-    folds: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x):
         skips: List[jnp.ndarray] = []
         for i, c in enumerate(self.chans):
-            f = fold_factor_for(self.folds, i, x.shape[2])
-            x = DoubleConvBlock(c, train=self.train, dtype=self.dtype,
-                                fold=f)(x)
+            x = DoubleConvBlock(c, train=self.train, dtype=self.dtype)(x)
             skips.append(x)
             x = max_pool_2x2(x)
         x = DoubleConvBlock(self.bottleneck_ch, train=self.train,

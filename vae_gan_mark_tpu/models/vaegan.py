@@ -60,7 +60,7 @@ class VAEGANGenerator(nn.Module):
             mu, logvar, skips = unet_enc(
                 chans=cfg.enc_chans, bottleneck_ch=cfg.bottleneck_ch,
                 z_ch=cfg.z_ch, train=self.train, dtype=dtype,
-                folds=cfg.lane_fold, name="encoder")(x)
+                name="encoder")(x)
 
         mu32 = mu.astype(jnp.float32)
         logvar32 = logvar.astype(jnp.float32)
@@ -107,7 +107,7 @@ class VAEGANGenerator(nn.Module):
                 out_ch=cfg.out_ch,
                 use_film=cfg.generator in ("film4", "film3"),
                 gated_skips=cfg.generator == "film3",
-                fast_film=cfg.fast_film, folds=cfg.lane_fold,
+                fast_film=cfg.fast_film,
                 train=self.train, dtype=dtype, name="decoder")(
                     z, text_map, skips)
 

@@ -17,7 +17,6 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vae_gan_mark_tpu.ops.fold import FoldConv
 from vae_gan_mark_tpu.ops.norms import BatchNorm
 from vae_gan_mark_tpu.ops.precision import precision_for
 
@@ -28,14 +27,7 @@ def max_pool_2x2(x):
 
 
 class ConvBNRelu(nn.Module):
-    """Conv (+bias) -> BatchNorm -> ReLU.
-
-    ``fold`` > 1 computes the conv in width-folded layout (ops/fold.py) —
-    exact same math, measured several-fold faster for the lane-starved
-    full-resolution 32/64-channel stages. Only valid for the 3x3 stride-1
-    SAME shape; the parameter tree is identical either way (FoldConv is
-    named "Conv_0" so checkpoints are layout-independent).
-    """
+    """Conv (+bias) -> BatchNorm -> ReLU."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -44,22 +36,14 @@ class ConvBNRelu(nn.Module):
     use_bias: bool = True
     train: bool = True
     dtype: Any = jnp.float32
-    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        if self.fold > 1:
-            assert (self.kernel_size == (3, 3) and self.strides == (1, 1)
-                    and self.padding == ((1, 1), (1, 1))), (
-                "fold supports the 3x3 stride-1 SAME conv only")
-            x = FoldConv(self.features, self.fold, use_bias=self.use_bias,
-                         dtype=self.dtype, name="Conv_0")(x)
-        else:
-            x = nn.Conv(self.features, self.kernel_size,
-                        strides=self.strides,
-                        padding=self.padding, use_bias=self.use_bias,
-                        precision=precision_for(self.dtype),
-                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.Conv(self.features, self.kernel_size,
+                    strides=self.strides,
+                    padding=self.padding, use_bias=self.use_bias,
+                    precision=precision_for(self.dtype),
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -70,13 +54,12 @@ class DoubleConvBlock(nn.Module):
     features: int
     train: bool = True
     dtype: Any = jnp.float32
-    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
         for _ in range(2):
             x = ConvBNRelu(self.features, use_bias=False, train=self.train,
-                           dtype=self.dtype, fold=self.fold)(x)
+                           dtype=self.dtype)(x)
         return x
 
 

@@ -476,7 +476,15 @@ class Trainer:
                     log["val/generator_loss"] = val_metrics.get("loss_G", 0.0)
                     log["val/discriminator_loss"] = val_metrics.get(
                         "loss_D", 0.0)
-                    log["val/kl_loss"] = val_metrics.get("kl", 0.0)
+                    # Reference schema (vae-gan-v2.py:652-653): the raw KL
+                    # and the same average scaled by the epoch's annealed
+                    # weight. val/kl_loss kept as a raw-KL alias for
+                    # existing tooling.
+                    kl_raw = val_metrics.get("kl", 0.0)
+                    log["val/kl_loss"] = kl_raw
+                    log["val/kl_loss_raw"] = kl_raw
+                    log["val/kl_loss_weighted"] = (
+                        kl_raw * train_metrics.get("kl_weight", 0.0))
                     log["val/gan_loss_g"] = val_metrics.get("gan_g", 0.0)
                     log["val/perceptual_loss"] = val_metrics.get("perc", 0.0)
             self.logger.log(log, step=epoch + 1)
