@@ -63,14 +63,14 @@ def test_hung_child_yields_error_json_within_deadline(tmp_path):
                       "import time\ntime.sleep(600)\n", deadline="3")
     assert out.returncode == 0, out.stderr
     d = json.loads(out.stdout.strip().splitlines()[-1])
-    assert d["value"] == 0.0 and "deadline" in d["error"]
+    assert d["value"] is None and "deadline" in d["error"]
 
 
 def test_crashed_child_yields_error_json(tmp_path):
     out = _run_parent(tmp_path, "import sys\nsys.exit(7)\n")
     assert out.returncode == 0, out.stderr
     d = json.loads(out.stdout.strip().splitlines()[-1])
-    assert d["value"] == 0.0 and "rc=7" in d["error"]
+    assert d["value"] is None and "rc=7" in d["error"]
 
 
 def test_child_env_flag_reaches_child(tmp_path):
