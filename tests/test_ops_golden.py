@@ -206,3 +206,53 @@ class TestSpectralNorm:
         mat = np.asarray(w_sn).transpose(3, 0, 1, 2).reshape(6, -1)
         sigma = np.linalg.svd(mat, compute_uv=False)[0]
         assert abs(sigma - 1.0) < 1e-3, sigma
+
+
+class TestLanePaddedConv:
+    """LanePaddedConv (ops/convblocks.py) must be a drop-in for nn.Conv:
+    identical parameter tree/init, and identical outputs — bit-exact on CPU,
+    where the fast tier and the multichip dryrun run."""
+
+    @pytest.mark.parametrize("ksize,pad", [((1, 1), "VALID"),
+                                           ((3, 3), ((1, 1), (1, 1)))])
+    def test_matches_nn_conv(self, ksize, pad):
+        from flax import linen as nn
+        from vae_gan_mark_tpu.ops.convblocks import LanePaddedConv
+        from vae_gan_mark_tpu.ops.precision import precision_for
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 16, 64)), jnp.float32)
+        ref = nn.Conv(3, ksize, padding=pad,
+                      precision=precision_for(jnp.float32),
+                      param_dtype=jnp.float32)
+        new = LanePaddedConv(3, ksize, padding=pad)
+        p_ref = ref.init(jax.random.PRNGKey(0), x)
+        p_new = new.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p_ref)
+                == jax.tree_util.tree_structure(p_new))
+        for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tol = dict(rtol=0, atol=0) if jax.default_backend() == "cpu" \
+            else dict(rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(new.apply(p_ref, x)),
+                                   np.asarray(ref.apply(p_ref, x)), **tol)
+        # bf16 production mode: padded lanes, still the same values.
+        newb = LanePaddedConv(3, ksize, padding=pad, dtype=jnp.bfloat16)
+        refb = nn.Conv(3, ksize, padding=pad, dtype=jnp.bfloat16,
+                       param_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(newb.apply(p_ref, x.astype(jnp.bfloat16)),
+                       np.float32),
+            np.asarray(refb.apply(p_ref, x.astype(jnp.bfloat16)),
+                       np.float32), rtol=2e-2, atol=2e-2)
+
+    def test_gradients_flow(self):
+        from vae_gan_mark_tpu.ops.convblocks import LanePaddedConv
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 16)), jnp.float32)
+        m = LanePaddedConv(3, (1, 1))
+        p = m.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: float(0) + jnp.sum(
+            jnp.sin(m.apply(p, x))))(p)
+        assert float(jnp.linalg.norm(g["params"]["kernel"])) > 0
+        assert float(jnp.linalg.norm(g["params"]["bias"])) > 0

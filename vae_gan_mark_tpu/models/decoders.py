@@ -15,9 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vae_gan_mark_tpu.ops.convblocks import (
-    DoubleConvBlock, TConv, TConvBNRelu)
+    DoubleConvBlock, LanePaddedConv, TConv, TConvBNRelu)
 from vae_gan_mark_tpu.ops.film import GatedSkip, SpatialFiLM
-from vae_gan_mark_tpu.ops.precision import precision_for
 from vae_gan_mark_tpu.ops.resize import interpolate_bilinear
 
 
@@ -45,9 +44,11 @@ class PlainDecoder(nn.Module):
         for c in self.chans[1:]:
             x = TConvBNRelu(c, (4, 4), strides=(2, 2), torch_padding=(1, 1),
                             train=self.train, dtype=self.dtype)(x)
-        x = nn.Conv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                    precision=precision_for(self.dtype),
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        # 64->3 RGB conv at full resolution: computed lane-padded (see
+        # LanePaddedConv — parameters identical to the nn.Conv it replaces,
+        # module named Conv_0 to keep the checkpoint tree unchanged).
+        x = LanePaddedConv(self.out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                           dtype=self.dtype, name="Conv_0")(x)
         return nn.sigmoid(x)
 
 
@@ -107,7 +108,9 @@ class UNetStyleDecoder(nn.Module):
                                 name=f"film{i}")(x, text_map)
             x = DoubleConvBlock(c, train=self.train, dtype=self.dtype)(x)
 
-        x = nn.Conv(self.out_ch, (1, 1), padding="VALID", dtype=self.dtype,
-                    precision=precision_for(self.dtype),
-                    param_dtype=jnp.float32)(x)
+        # 64->3 RGB conv: lane-padded to 8 MXU lanes, sliced back (exact
+        # math; tail_probe_r05.json). Named Conv_0 so the parameter tree is
+        # byte-identical to the nn.Conv it replaces.
+        x = LanePaddedConv(self.out_ch, (1, 1), padding="VALID",
+                           dtype=self.dtype, name="Conv_0")(x)
         return nn.sigmoid(x)

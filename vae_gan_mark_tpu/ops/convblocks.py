@@ -63,6 +63,52 @@ class DoubleConvBlock(nn.Module):
         return x
 
 
+class LanePaddedConv(nn.Module):
+    """Conv to a sub-lane output channel count, computed at ``pad_to``
+    MXU lanes and sliced back.
+
+    The decoders' RGB output convs map 64 -> 3 channels: 3 of 128 MXU
+    lanes. Measured in isolation on the v5e the naive 3-lane 1x1 conv is
+    latency-pathological (benchmarks/tail_probe_r05.json: 908 ms vs 78 ms
+    when padded to 8 lanes, bs=128 64x448), and it carried 4.8 ms fwd in
+    the r03 step trace. This module keeps the *parameters* exactly those
+    of ``nn.Conv(features)`` (same shapes, names, and init — checkpoint-
+    and torch-port-compatible when given the same module name), but at
+    trace time zero-pads the kernel to ``pad_to`` output columns, runs
+    the conv at ``pad_to`` lanes, and slices the first ``features``
+    channels. Identical math: the extra columns are zero and sliced away
+    (bit-exact on CPU; on the MXU the tiling differs, so reduction order
+    can shift ulps). float32 mode — the torch-parity mode — therefore
+    skips the padding entirely and is bit-identical to the ``nn.Conv``
+    this replaces; only the bf16 production path pays the padded lanes.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"
+    pad_to: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.lax
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        pad_to = (self.pad_to
+                  if jnp.dtype(self.dtype) != jnp.float32 else self.features)
+        kp = jnp.zeros((kh, kw, in_ch, pad_to), self.dtype)
+        kp = kp.at[..., :self.features].set(kernel.astype(self.dtype))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kp, (1, 1), self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision_for(self.dtype))
+        return y[..., :self.features] + bias.astype(self.dtype)
+
+
 class TConvBNRelu(nn.Module):
     """ConvTranspose -> BatchNorm -> ReLU with torch-equivalent shapes.
 
