@@ -17,15 +17,28 @@ if ps aux | grep -E "vae_gan_mark_tpu.train|bench.py" | grep -v grep | grep -v $
   exit 1
 fi
 
+# Probe-and-wait for the tunneled chip (it wedges for long stretches).
+wait_chip() {
+  for _ in $(seq 1 120); do
+    if timeout 75 python -c "
+import jax, jax.numpy as jnp
+(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()" 2>/dev/null; then
+      echo "chip healthy"; return 0
+    fi
+    echo "chip wedged — waiting 120 s"; sleep 120
+  done
+  echo "chip never recovered" >&2; return 1
+}
+
 # Phase 1: conditioning first (gan_weight=0), 60 epochs.
-timeout 1800 python -m vae_gan_mark_tpu.train --variant v2 --synthetic \
+wait_chip && timeout 1800 python -m vae_gan_mark_tpu.train --variant v2 --synthetic \
   --synthetic-samples 2048 --synthetic-text-vocab 8 --synthetic-text-tile \
   --synthetic-structured --epochs 60 --batch-size 16 --multi-step 16 \
   --workdir .runs/gan_warmstart --set save_every=10 --set gan_weight=0.0 \
   --seed 0 > .runs/gan_warmstart_p1.log 2>&1
 
 # Phase 2: full reference loss from the conditioned checkpoint, 60 more.
-timeout 1800 python -m vae_gan_mark_tpu.train --variant v2 --synthetic \
+wait_chip && timeout 1800 python -m vae_gan_mark_tpu.train --variant v2 --synthetic \
   --synthetic-samples 2048 --synthetic-text-vocab 8 --synthetic-text-tile \
   --synthetic-structured --epochs 120 --batch-size 16 --multi-step 16 \
   --workdir .runs/gan_warmstart --set save_every=10 --seed 0 \

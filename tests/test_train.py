@@ -351,3 +351,35 @@ def test_remat_encoder_is_numerically_transparent():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6),
         s_plain.g_params, s_remat.g_params)
+
+
+def test_resume_with_changed_loss_weights(tmp_path):
+    """Warm-start protocol (examples/vocab_run/gan_warmstart): train under
+    gan_weight=0, then resume the same workdir with the full reference
+    gan_weight. Resume must pick up epoch/opt/scheduler state and train
+    under the new loss — the TPU-side analogue of the reference loading
+    checkpoints with strict=False into a script with different constants
+    (vae-gan-v2.py:963-995)."""
+    base = {**TINY, "batch_size": 8, "save_every": 1}
+    ds = SyntheticPatchDataset(get_config("v2", **base), num_samples=16,
+                               seed=0)
+
+    def data(epoch):
+        for i in range(2):
+            yield ds.batch(8, i)
+
+    cfg0 = get_config("v2", **{**base, "gan_weight": 0.0})
+    t1 = Trainer(cfg0, data, data, workdir=str(tmp_path), use_mesh=False)
+    t1.fit(epochs=1)
+
+    cfg1 = get_config("v2", **base)          # reference gan_weight (0.15)
+    assert cfg1.gan_weight > 0
+    t2 = Trainer(cfg1, data, data, workdir=str(tmp_path), use_mesh=False)
+    assert t2.epoch == 1                     # resumed, not restarted
+    best = t2.fit(epochs=2)
+    assert np.isfinite(best)
+    import json
+    lines = [json.loads(line) for line in
+             open(os.path.join(str(tmp_path), "v2.metrics.jsonl"))]
+    # Epoch 2 trained with the adversarial term active.
+    assert lines[-1]["train/gan_loss_g"] != 0.0
