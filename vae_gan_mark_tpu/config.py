@@ -125,6 +125,12 @@ class VariantConfig:
     fused_disc_forward: bool = True
     # Remat the generator encoder to trade FLOPs for HBM on large batches.
     remat_encoder: bool = False
+    # OPT-IN projection-conditional discriminator (models/discriminator.py):
+    # D embeds the text itself and judges realism *given the string*. The
+    # reference's D is unconditional (vae-gan.py:148-159) so this defaults
+    # off; built as the structural fix the five-run GAN-conditioning series
+    # points to (examples/vocab_run/gan007_continuation/README.md).
+    conditional_disc: bool = False
     # Exact row-factored SpatialFiLM predictor for height-1 text maps
     # (unet/v2): ~21x fewer FiLM FLOPs, bit-identical math (see ops/film.py).
     fast_film: bool = True

@@ -75,12 +75,15 @@ def create_train_state(cfg: VariantConfig, rng: jax.Array,
                        sample_batch) -> TrainState:
     """Initialize G, D, and both optimizer states from a sample batch."""
     g_model = VAEGANGenerator(cfg=cfg, train=True)
-    d_model = PatchDiscriminator()
+    d_model = PatchDiscriminator(
+        cond_vocab=cfg.vocab_size if cfg.conditional_disc else 0)
     rng_g, rng_d, rng_s, rng_do = jax.random.split(rng, 4)
     g_vars = g_model.init(
         {"params": rng_g, "sample": rng_s, "dropout": rng_do},
         sample_batch["ru"], sample_batch["mask"], sample_batch["text"])
-    d_vars = d_model.init(rng_d, sample_batch["en"])
+    d_vars = d_model.init(
+        rng_d, sample_batch["en"],
+        sample_batch["text"] if cfg.conditional_disc else None)
     opt_g = make_g_optimizer(cfg)
     opt_d = make_d_optimizer(cfg)
     return TrainState(

@@ -44,14 +44,15 @@ Batch = Dict[str, jnp.ndarray]  # keys: ru, en, mask, text
 def build_train_step(cfg: VariantConfig):
     """Returns step(state, vgg_params, batch, rng, kl_weight) -> (state, metrics)."""
     g_model = VAEGANGenerator(cfg=cfg, train=True)
-    d_model = PatchDiscriminator()
+    d_model = PatchDiscriminator(
+        cond_vocab=cfg.vocab_size if cfg.conditional_disc else 0)
     opt_g = make_g_optimizer(cfg)
     opt_d = make_d_optimizer(cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    def d_apply(params, spectral, x):
+    def d_apply(params, spectral, x, cond=None):
         out, updated = d_model.apply(
-            {"params": params, "spectral": spectral}, x,
+            {"params": params, "spectral": spectral}, x, cond,
             mutable=["spectral"])
         return out, updated["spectral"]
 
@@ -60,6 +61,9 @@ def build_train_step(cfg: VariantConfig):
         rng = jax.random.fold_in(rng, state.step)
         rng_sample, rng_dropout = jax.random.split(rng)
         real = batch["en"]
+        # Projection-conditional D (opt-in): real and fake are judged
+        # against the SAME conditioning text; tokens carry no gradient.
+        cond = batch["text"] if cfg.conditional_disc else None
 
         # ---- 1. Generator forward, backward saved for later. -------------
         def g_forward(g_params):
@@ -80,13 +84,17 @@ def build_train_step(cfg: VariantConfig):
             if cfg.fused_disc_forward:
                 both = jnp.concatenate(
                     [real, fake_sg], axis=0).astype(compute_dtype)
-                preds, spectral = d_apply(d_params, state.d_spectral, both)
+                both_cond = (None if cond is None else
+                             jnp.concatenate([cond, cond], axis=0))
+                preds, spectral = d_apply(d_params, state.d_spectral, both,
+                                          both_cond)
                 real_preds, fake_preds = jnp.split(preds, 2, axis=0)
             else:
                 real_preds, spectral = d_apply(
-                    d_params, state.d_spectral, real.astype(compute_dtype))
+                    d_params, state.d_spectral, real.astype(compute_dtype),
+                    cond)
                 fake_preds, spectral = d_apply(
-                    d_params, spectral, fake_sg.astype(compute_dtype))
+                    d_params, spectral, fake_sg.astype(compute_dtype), cond)
             loss = 0.5 * (hinge_d_real(real_preds) + hinge_d_fake(fake_preds))
             return loss, spectral
 
@@ -99,7 +107,7 @@ def build_train_step(cfg: VariantConfig):
         # ---- 3. Generator update against the updated discriminator. ------
         def g_downstream(recon, mu_, logvar_):
             fake_preds, spectral = d_apply(
-                new_d_params, d_spectral, recon.astype(compute_dtype))
+                new_d_params, d_spectral, recon.astype(compute_dtype), cond)
             recon_l = l1_loss(recon, real)
             kl = kl_divergence(mu_, logvar_)
             gan = hinge_g(fake_preds)
@@ -153,7 +161,9 @@ def build_eval_step(cfg: VariantConfig):
     for image logging.
     """
     g_model = VAEGANGenerator(cfg=cfg, train=False)
-    d_model = PatchDiscriminator(update_sn=False)
+    d_model = PatchDiscriminator(
+        update_sn=False,
+        cond_vocab=cfg.vocab_size if cfg.conditional_disc else 0)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     def step(state: TrainState, vgg_params, batch: Batch, rng: jax.Array,
@@ -180,12 +190,13 @@ def build_eval_step(cfg: VariantConfig):
             "masked_l1": m_l1, "mark_recovery": recovery,
         }
         if cfg.full_loss_val:
+            cond = batch["text"] if cfg.conditional_disc else None
             fake_preds = d_model.apply(
                 {"params": state.d_params, "spectral": state.d_spectral},
-                fake.astype(compute_dtype))
+                fake.astype(compute_dtype), cond)
             real_preds = d_model.apply(
                 {"params": state.d_params, "spectral": state.d_spectral},
-                real.astype(compute_dtype))
+                real.astype(compute_dtype), cond)
             gan = hinge_g(fake_preds)
             loss_d = 0.5 * (hinge_d_real(real_preds)
                             + hinge_d_fake(fake_preds))
